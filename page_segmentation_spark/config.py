@@ -1,0 +1,70 @@
+"""Engine configuration and label constants.
+
+The reference drives prediction through ``PredictSettings``
+(reference lib/predictor_data.py:18-26: network path, output dir,
+post_process chain, n_classes).  Our analog is :class:`ExtractSettings`.
+
+Class ids mirror the reference's text_nontext collapse
+(reference lib/pagexml.py:95-129): 0 = background/boilerplate,
+1 = text/main content, 2 = image/media.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+CLS_BOILER = 0
+CLS_MAIN = 1
+CLS_MEDIA = 2
+N_CLASSES = 3
+
+#: Hard cap on emitted nodes per document — the analog of the reference's
+#: ``max_width`` clamp on oversized pages (reference lib/dataset.py:139-143).
+#: One url must fit one task for the CC/vote/span stages; this bounds it.
+MAX_NODES_PER_DOC = 50_000
+
+#: Target of the per-document normalization (analog of
+#: ``target_line_height``, reference lib/dataset.py:131-137): node lengths
+#: are normalized by the per-doc median foreground block length (A12).
+DEFAULT_TARGET_BLOCK_CHARS = 80
+
+
+@dataclass(frozen=True)
+class ExtractSettings:
+    """Job settings for the extraction pipeline (PredictSettings analog).
+
+    ``post_process`` is an ordered list of named DataFrame->DataFrame
+    stages resolved through
+    :data:`page_segmentation_spark.operators.vote.POSTPROCESSORS`
+    (the analog of the reference postprocessor registry,
+    reference lib/postprocess.py:45-64).
+    """
+
+    #: gap (consecutive non-main nodes, after dilation) required to cut a
+    #: span — ``split_size`` analog (reference lib/xycut.py:166).
+    split_size: int = 2
+    #: minimum number of *originally main* nodes a span must contain to be
+    #: kept — ``px_threshold`` analog (reference lib/xycut.py:148,170).
+    min_main_nodes: int = 1
+    #: dilation radius in nodes (reference lib/pc_segmentation.py:63-67 is
+    #: a 3x3 kernel == radius 1).
+    dilate_radius: int = 1
+    #: ordered post-processor chain (reference lib/predictor.py:38-40).
+    post_process: tuple = ("cc_majority",)
+    #: separator used when concatenating node texts (must match oracle).
+    separator: str = "\n\n"
+    n_classes: int = N_CLASSES
+    max_nodes_per_doc: int = MAX_NODES_PER_DOC
+
+
+def derive_thresholds(char_med: float) -> tuple[int, int]:
+    """W4 analog: derive (split_size, min_main_nodes) from the per-doc
+    normalization statistic (reference lib/pc_segmentation.py:37-42 derives
+    px thresholds and split sizes from char_height).
+
+    Integer-only arithmetic so the Spark and oracle sides cannot drift.
+    Documents with long typical blocks (articles) cut on smaller gaps.
+    """
+    split_size = 2 if char_med >= 40.0 else 3
+    min_main_nodes = 1
+    return split_size, min_main_nodes

@@ -1,0 +1,169 @@
+"""Deterministic synthetic Common-Crawl-style page generator.
+
+Produces rows of the exact `input_hint` shape
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``
+with HTML built from a seeded template mixing known main-content blocks and
+boilerplate (nav/footer/ads/sidebar), so ground truth is known by
+construction (FIXTURES.md §1).  Analog of the reference's dataset dirs +
+manifest (reference README.md:46-70, lib/dataset.py:44-111).
+
+Fully deterministic: ``random.Random(seed)`` only, absolute timestamps,
+no wall clock.  Edge cases emitted on a fixed schedule: empty body, giant
+page (skew / max_width analog, reference lib/dataset.py:139-143), nested
+boilerplate inside content, duplicated blocks (dedup tests), non-ASCII
+text (byte-identity stress), zero-main-content documents.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+from typing import Dict, Iterator, List
+
+_WORDS_EN = (
+    "the quick brown fox jumps over a lazy dog while ancient scribes "
+    "recorded the history of distributed systems and the art of careful "
+    "measurement in long winding sentences about data pipelines engines "
+    "documents pages content extraction quality tokens models scale"
+).split()
+_WORDS_DE = (
+    "der schnelle braune fuchs springt über den faulen hund während alte "
+    "schreiber die geschichte der verteilten systeme mit großer sorgfalt "
+    "in langen sätzen über daten und maschinen festhielten"
+).split()
+_WORDS_NONASCII = "журнал データ 文档 ação naïve café über señor œuvre".split()
+
+_NAV_ITEMS = ["Home", "About", "Products", "Blog", "Contact", "Login", "Sign up"]
+_AD_TEXTS = [
+    "Buy now! Limited offer!!!",
+    "Click here to win $$$ 1000000",
+    "SUBSCRIBE to our newsletter",
+    "Download our FREE app today",
+]
+
+
+def _sentence(rng: random.Random, words: List[str], n: int) -> str:
+    toks = [rng.choice(words) for _ in range(n)]
+    toks[0] = toks[0].capitalize()
+    return " ".join(toks) + rng.choice([".", ".", ".", "!", "?"])
+
+
+def _paragraph(rng: random.Random, words: List[str], n_sent: int) -> str:
+    return " ".join(
+        _sentence(rng, words, rng.randint(8, 22)) for _ in range(n_sent)
+    )
+
+
+def _nav(rng: random.Random) -> str:
+    items = "".join(
+        f'<li><a href="/{x.lower()}">{x}</a></li>'
+        for x in rng.sample(_NAV_ITEMS, rng.randint(4, 7))
+    )
+    return f"<nav><ul>{items}</ul></nav>"
+
+
+def _sidebar(rng: random.Random, words: List[str]) -> str:
+    links = "".join(
+        f'<li><a href="/p/{i}">{_sentence(rng, words, rng.randint(3, 6))}</a></li>'
+        for i in range(rng.randint(3, 8))
+    )
+    ad = rng.choice(_AD_TEXTS)
+    return f'<aside><h3>Related</h3><ul>{links}</ul><div class="ad">{ad}</div></aside>'
+
+
+def _footer(rng: random.Random) -> str:
+    links = " ".join(
+        f'<a href="/{x}">{x}</a>' for x in ["terms", "privacy", "imprint", "jobs"]
+    )
+    return f"<footer><p>© 2024 Example Corp. {links}</p></footer>"
+
+
+def make_page(doc_id: int, seed: int = 42) -> Dict[str, object]:
+    """Build one deterministic page row keyed only by (doc_id, seed)."""
+    rng = random.Random((seed << 32) ^ doc_id)
+    kind = doc_id % 17  # fixed edge-case schedule
+    lang = "de" if doc_id % 5 == 3 else "en"
+    words = _WORDS_DE if lang == "de" else _WORDS_EN
+
+    body: List[str] = ["<header>", _nav(rng), "</header>"]
+    main_parts: List[str] = []
+
+    if kind == 0:  # empty body
+        body = []
+    elif kind == 1:  # zero main content: boilerplate only
+        body += [_sidebar(rng, words), _footer(rng)]
+    else:
+        n_paras = 30 if kind == 2 else rng.randint(3, 10)  # kind 2: giant page
+        if kind == 2:
+            n_paras = 400  # skew document
+        title = _sentence(rng, words, rng.randint(4, 8))
+        main_parts.append(f"<h1>{title}</h1>")
+        dup_para = None
+        for p in range(n_paras):
+            w = words
+            if kind == 4 and p % 3 == 1:
+                w = words + _WORDS_NONASCII  # non-ASCII stress
+            para = _paragraph(rng, w, rng.randint(2, 5))
+            if kind == 5 and p == 1:
+                dup_para = para
+            if kind == 5 and p == 3 and dup_para:
+                para = dup_para  # duplicated block
+            main_parts.append(f"<p>{para}</p>")
+            if kind == 6 and p == 2:
+                # nested boilerplate inside content
+                main_parts.append(
+                    f'<div class="inline-ad"><a href="/ad">{rng.choice(_AD_TEXTS)}</a></div>'
+                )
+            if kind == 7 and p == 1:
+                main_parts.append('<figure><img src="/i.png"/>'
+                                  f"<figcaption>{_sentence(rng, words, 5)}</figcaption></figure>")
+        body.append("<article>" + "".join(main_parts) + "</article>")
+        body.append(_sidebar(rng, words))
+        body.append(_footer(rng))
+
+    html = (
+        "<!DOCTYPE html><html><head><title>Doc %d</title>"
+        "<script>var x=1;</script><style>.x{}</style></head><body>%s</body></html>"
+        % (doc_id, "".join(body))
+    )
+    ts = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=doc_id % 31_536_000)
+    rough_text = " ".join(main_parts)  # noisy pre-extracted text analog
+    return {
+        "url": f"https://example-{doc_id % 1000}.test/page/{doc_id}",
+        "warc_ts": ts,
+        "html": html.encode("utf-8"),
+        "text": rough_text,
+        "lang": lang,
+    }
+
+
+def gen_pages(n: int, seed: int = 42, start: int = 0) -> Iterator[Dict[str, object]]:
+    for i in range(start, start + n):
+        yield make_page(i, seed)
+
+
+PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def pages_df(spark, n: int, seed: int = 42, partitions: int = 32):
+    """Distributed generation: only (doc_id) tuples are shuffled to
+    executors; HTML is synthesized inside an Arrow-batched mapInPandas so
+    the driver never materializes page bytes (scales to any n)."""
+    import pandas as pd
+
+    ids = spark.range(0, n, 1, partitions).withColumnRenamed("id", "doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            rows = [make_page(int(i), seed) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return ids.mapInPandas(build, schema=PAGES_SCHEMA)
+
+
+def write_pages(spark, path: str, n: int, seed: int = 42, partitions: int = 32):
+    pages_df(spark, n, seed, partitions).write.mode("overwrite").parquet(path)

@@ -1,0 +1,93 @@
+"""JVM-side feature assembly: normalization stat + multi-scale context.
+
+Re-expresses the reference's normalization (P1, lib/dataset.py:131-150;
+A12 char-height, lib/image_ops.py:58-82) and the encoder-decoder's
+multi-scale context (P10, lib/model.py:45-92) as pure column/window math —
+no Python in this stage, whole-stage-codegen friendly.
+
+Determinism: windowed aggregates are LONG sums (exact in any order); the
+per-doc median uses Spark's exact ``percentile`` (same interpolation as
+:func:`scorer_core.exact_median`); each feature is a single double op, so
+the array is bit-identical to the oracle's
+:func:`scorer_core.build_features`.
+
+All windows partition by ``url`` (plus subkeys) — after the first exchange
+on ``url`` every later window/groupBy is satisfied by that clustering and
+only adds local sorts (verified in tests via ``explain``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from page_segmentation_spark.functions import scorer_core as sc
+
+
+def _tag_flag(tags: frozenset) -> Column:
+    return F.when(F.col("tag").isin(*sorted(tags)), F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+def with_doc_stats(nodes: DataFrame) -> DataFrame:
+    """Per-document aggregates as window columns (no join):
+    char_med (A12), doc char/link totals, n_nodes."""
+    w_doc = Window.partitionBy("url")
+    return (
+        nodes.withColumn(
+            "char_med",
+            F.coalesce(
+                F.expr(
+                    "percentile(CASE WHEN is_fg THEN n_chars END, 0.5)"
+                ).over(w_doc),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn("doc_chars", F.sum("n_chars").over(w_doc))
+        .withColumn("doc_link", F.sum("n_link_chars").over(w_doc))
+        .withColumn("n_nodes", F.count(F.lit(1)).over(w_doc))
+    )
+
+
+def with_context_sums(nodes: DataFrame) -> DataFrame:
+    """Sliding integer sums at local (±2) and section (±8) radii — the 1-D
+    conv/pool pyramid (P10)."""
+    ordered = Window.partitionBy("url").orderBy("node_idx")
+    loc = ordered.rowsBetween(-sc.LOCAL_RADIUS, sc.LOCAL_RADIUS)
+    sec = ordered.rowsBetween(-sc.SECTION_RADIUS, sc.SECTION_RADIUS)
+    return (
+        nodes.withColumn("loc_chars", F.sum("n_chars").over(loc))
+        .withColumn("loc_link", F.sum("n_link_chars").over(loc))
+        .withColumn("sec_chars", F.sum("n_chars").over(sec))
+        .withColumn("sec_link", F.sum("n_link_chars").over(sec))
+    )
+
+
+def with_features(nodes: DataFrame) -> DataFrame:
+    """Assemble the ordered feature array (must mirror
+    scorer_core.build_features exactly — one double division per feature)."""
+    d = lambda c: c.cast("double")  # noqa: E731
+    med1 = F.col("char_med") + F.lit(1.0)
+    feats = F.array(
+        d(F.col("n_chars")) / med1,
+        d(F.col("n_link_chars")) / (d(F.col("n_chars")) + F.lit(1.0)),
+        d(F.col("n_punct")) / (d(F.col("n_chars")) + F.lit(1.0)),
+        d(F.col("n_stop")) / (d(F.col("n_tokens")) + F.lit(1.0)),
+        d(F.col("depth")) / F.lit(32.0),
+        _tag_flag(sc.TEXT_TAGS),
+        _tag_flag(sc.BOILER_TAGS),
+        _tag_flag(sc.MEDIA_PRIOR_TAGS),
+        d(F.col("n_upper")) / (d(F.col("n_alpha")) + F.lit(1.0)),
+        d(F.col("n_digits")) / (d(F.col("n_chars")) + F.lit(1.0)),
+        d(F.col("loc_chars")) / (F.lit(5.0) * med1),
+        d(F.col("loc_link")) / (d(F.col("loc_chars")) + F.lit(1.0)),
+        d(F.col("sec_chars")) / (F.lit(17.0) * med1),
+        d(F.col("sec_link")) / (d(F.col("sec_chars")) + F.lit(1.0)),
+        d(F.col("doc_link")) / (d(F.col("doc_chars")) + F.lit(1.0)),
+        d(F.col("node_idx")) / d(F.col("n_nodes")),
+    )
+    return nodes.withColumn("features", feats)
+
+
+def featurize(nodes: DataFrame) -> DataFrame:
+    """Full feature stage: doc stats -> context sums -> feature array."""
+    return with_features(with_context_sums(with_doc_stats(nodes)))

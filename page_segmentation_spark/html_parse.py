@@ -1,0 +1,228 @@
+"""Deterministic HTML -> DOM-text-block parser (shared core).
+
+This module is the analog of the reference's image decode + normalization
+front-end (``DatasetLoader.load_images``, reference lib/dataset.py:160-191):
+it turns one raw page byte-stream into the "pixel grid in long form" — an
+ordered list of text-block node records.  The *same* function is called by
+
+  * the single-node oracle (:mod:`page_segmentation_spark.oracle`), and
+  * the Spark ``mapInPandas`` parse stage
+    (:mod:`page_segmentation_spark.sources.parse`),
+
+so extracted text is byte-identical by construction.  Pure stdlib
+(``html.parser``) — no lxml/bs4 in this environment — and fully
+deterministic: no dict-order dependence, no randomness.
+
+Node record fields (FIXTURES.md §2):
+    node_idx  — document-order position (0-based)
+    tag       — owning block tag
+    depth     — DOM depth of the owning block element
+    text      — whitespace-normalized visible text ('' for media nodes)
+    n_chars, n_tokens, n_link_chars, n_punct, n_digits, n_upper,
+    n_alpha, n_stop — integer stats (all window aggregates downstream are
+    integer sums, so they are exact under any execution order)
+    is_fg     — node has visible text (foreground-binary analog,
+                reference lib/dataset.py:135-137)
+"""
+
+from __future__ import annotations
+
+import string
+from html.parser import HTMLParser
+from typing import Any, Dict, List
+
+# Block-level elements: a new node begins whenever one opens or closes.
+BLOCK_TAGS = frozenset(
+    """p div h1 h2 h3 h4 h5 h6 li dt dd td th caption blockquote pre
+    article section header footer nav aside main figure figcaption
+    title summary address tr table ul ol dl form fieldset legend
+    details hr br""".split()
+)
+
+# Content inside these is never visible text (script/style skip).
+SKIP_TAGS = frozenset("script style noscript template svg head iframe".split())
+
+# Elements emitted as media nodes (class-2 candidates) with empty text.
+MEDIA_TAGS = frozenset("img video audio picture canvas embed object".split())
+
+# Void elements (never pushed on the open-element stack).
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# Small fixed multilingual stopword set for the stop-ratio feature.
+STOPWORDS = frozenset(
+    """the a an and or of to in is are was were it this that for on with as
+    be by at from der die das und ist ein eine im mit von zu den le la les
+    et de un une du est el los las y en que se no""".split()
+)
+
+_PUNCT = frozenset(string.punctuation)
+
+
+def text_stats(text: str, n_link_chars: int) -> Dict[str, int]:
+    """Integer statistics for one normalized text chunk.
+
+    Shared by parser and fixtures; everything downstream that feeds the
+    scorer is derived from these integers, so Spark/oracle cannot drift.
+    """
+    n_punct = n_digits = n_upper = n_alpha = 0
+    for ch in text:
+        if ch in _PUNCT:
+            n_punct += 1
+        elif ch.isdigit():
+            n_digits += 1
+        elif ch.isalpha():
+            n_alpha += 1
+            if ch.isupper():
+                n_upper += 1
+    tokens = text.split()
+    n_stop = 0
+    for t in tokens:
+        if t.lower().strip(string.punctuation) in STOPWORDS:
+            n_stop += 1
+    return {
+        "n_chars": len(text),
+        "n_tokens": len(tokens),
+        "n_link_chars": min(n_link_chars, len(text)),
+        "n_punct": n_punct,
+        "n_digits": n_digits,
+        "n_upper": n_upper,
+        "n_alpha": n_alpha,
+        "n_stop": n_stop,
+    }
+
+
+class _BlockCollector(HTMLParser):
+    """Streams text into the nearest open block element; flushes a node on
+    every block boundary.  Anchor (<a>) nesting is tracked so link-char
+    counts are exact."""
+
+    def __init__(self, max_nodes: int) -> None:
+        super().__init__(convert_charrefs=True)
+        self.max_nodes = max_nodes
+        self.nodes: List[Dict[str, Any]] = []
+        self._stack: List[str] = []  # open elements (incl. inline)
+        self._skip_depth = 0  # >0 while inside SKIP_TAGS
+        self._anchor_depth = 0  # >0 while inside <a>
+        self._buf: List[str] = []  # raw text parts of current chunk
+        self._buf_link: List[str] = []  # parts that are inside <a>
+        self._block_tag = "body"
+        self._block_depth = 0
+
+    # -- node emission -------------------------------------------------
+    def _flush(self) -> None:
+        if not self._buf:
+            return
+        raw = "".join(self._buf)
+        text = " ".join(raw.split())
+        link_raw = "".join(self._buf_link)
+        link_text = " ".join(link_raw.split())
+        self._buf = []
+        self._buf_link = []
+        if not text:
+            return
+        self._emit(self._block_tag, self._block_depth, text, len(link_text))
+
+    def _emit(self, tag: str, depth: int, text: str, n_link: int) -> None:
+        if len(self.nodes) >= self.max_nodes:
+            return
+        rec: Dict[str, Any] = {
+            "node_idx": len(self.nodes),
+            "tag": tag,
+            "depth": depth,
+            "text": text,
+            "is_fg": len(text) > 0,
+        }
+        rec.update(text_stats(text, n_link))
+        self.nodes.append(rec)
+
+    # -- HTMLParser hooks ------------------------------------------------
+    def handle_starttag(self, tag, attrs):  # noqa: D401
+        if tag in SKIP_TAGS:
+            self._flush()
+            self._skip_depth += 1
+            if tag not in VOID_TAGS:
+                self._stack.append(tag)
+            return
+        if self._skip_depth == 0:
+            if tag in MEDIA_TAGS:
+                self._flush()
+                self._emit(tag, len(self._stack), "", 0)
+            elif tag in BLOCK_TAGS:
+                self._flush()
+                if tag not in ("br", "hr"):
+                    self._block_tag = tag
+                    self._block_depth = len(self._stack)
+            elif tag == "a":
+                self._anchor_depth += 1
+        if tag not in VOID_TAGS:
+            self._stack.append(tag)
+
+    def handle_endtag(self, tag):
+        if tag in VOID_TAGS:
+            return
+        # pop to the matching open tag (tolerant of malformed nesting)
+        if tag in self._stack:
+            while self._stack:
+                top = self._stack.pop()
+                if top in SKIP_TAGS:
+                    self._skip_depth = max(0, self._skip_depth - 1)
+                elif top == "a":
+                    self._anchor_depth = max(0, self._anchor_depth - 1)
+                if top == tag:
+                    break
+        if self._skip_depth == 0 and tag in BLOCK_TAGS:
+            self._flush()
+            self._block_tag = "body"
+            self._block_depth = max(0, len(self._stack))
+
+    def handle_startendtag(self, tag, attrs):
+        self.handle_starttag(tag, attrs)
+
+    def handle_data(self, data):
+        if self._skip_depth > 0 or not data:
+            return
+        self._buf.append(data)
+        if self._anchor_depth > 0:
+            self._buf_link.append(data)
+
+    def close(self):
+        super().close()
+        self._flush()
+
+
+def parse_html(html: bytes | str, max_nodes: int = 50_000) -> List[Dict[str, Any]]:
+    """Parse one page into ordered node records.
+
+    bytes are decoded as UTF-8 with replacement (deterministic); the
+    max_nodes cap is the giant-page guard (reference lib/dataset.py:139-143
+    ``max_width`` analog) so one url always fits one Spark task.
+    """
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    collector = _BlockCollector(max_nodes=max_nodes)
+    try:
+        collector.feed(html)
+        collector.close()
+    except Exception:
+        # malformed page: keep whatever was parsed (never fail a batch)
+        collector._flush()
+    return collector.nodes
+
+
+NODE_FIELDS = [
+    "node_idx",
+    "tag",
+    "depth",
+    "text",
+    "is_fg",
+    "n_chars",
+    "n_tokens",
+    "n_link_chars",
+    "n_punct",
+    "n_digits",
+    "n_upper",
+    "n_alpha",
+    "n_stop",
+]

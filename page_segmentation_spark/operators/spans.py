@@ -1,0 +1,103 @@
+"""Span formation: dilate -> gap merge -> islands -> trim (W1-W4, P15).
+
+Re-expression of the reference's segmentation stage
+(``find_segments``, lib/pc_segmentation.py:24-60):
+
+  * dilation (lib/pc_segmentation.py:63-67)  -> windowed max over ±radius;
+  * gap filter  (``split_size``, lib/xycut.py:166) -> interior zero-runs
+    shorter than split_size are merged into the surrounding segment
+    (sentinel border gaps are never merged, lib/xycut.py:165);
+  * segment filter (``px_threshold``, lib/xycut.py:148,170) -> spans must
+    contain >= min_main raw main nodes;
+  * spans are trimmed to raw-main extents (segments cover exactly the
+    content extent between gaps) and emitted in document order
+    (order preservation, lib/pc_segmentation.py:114-116).
+
+Thresholds derive from the per-doc normalization stat (W4,
+lib/pc_segmentation.py:37-42) via integer-only logic in
+:func:`page_segmentation_spark.config.derive_thresholds`.
+
+Everything is window/column math over the existing ``url`` clustering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from page_segmentation_spark.config import CLS_MAIN, ExtractSettings
+from page_segmentation_spark.operators.islands import with_islands
+
+
+def with_spans(nodes: DataFrame, settings: ExtractSettings) -> DataFrame:
+    """Input: node table with pred, is_fg, char_med, n_nodes.
+    Output: adds ``selected`` (node contributes to extraction),
+    ``span_start``, ``span_end``, ``span_main`` (null outside spans)."""
+    w_ord = Window.partitionBy("url").orderBy("node_idx")
+
+    # W4 threshold derivation (mirror config.derive_thresholds)
+    split_size = F.when(F.col("char_med") >= 40.0, F.lit(2)).otherwise(F.lit(3))
+    min_main = F.lit(settings.min_main_nodes)
+
+    ind = (
+        (F.col("pred") == F.lit(CLS_MAIN)) & F.col("is_fg")
+    ).cast("int")
+    df = nodes.withColumn("ind", ind)
+
+    # P15 dilation: windowed max, radius r
+    r = settings.dilate_radius
+    df = df.withColumn(
+        "dil", F.max("ind").over(w_ord.rowsBetween(-r, r))
+    )
+
+    # interior zero-runs < split_size flip to 1 (gap merge)
+    df = with_islands(df, ["dil"], out_col="zisl")
+    w_z = Window.partitionBy("url", "zisl")
+    df = (
+        df.withColumn("z_len", F.count(F.lit(1)).over(w_z))
+        .withColumn("z_min", F.min("node_idx").over(w_z))
+        .withColumn("z_max", F.max("node_idx").over(w_z))
+    )
+    interior = (F.col("z_min") > 0) & (F.col("z_max") < F.col("n_nodes") - 1)
+    df = df.withColumn(
+        "merged",
+        F.when(
+            (F.col("dil") == 0) & interior & (F.col("z_len") < split_size),
+            F.lit(1),
+        ).otherwise(F.col("dil")),
+    ).drop("zisl", "z_len", "z_min", "z_max")
+
+    # islands of merged==1 -> candidate spans
+    df = with_islands(df, ["merged"], out_col="sisl")
+    w_s = Window.partitionBy("url", "sisl")
+    in_span = F.col("merged") == 1
+    df = (
+        df.withColumn(
+            "span_main", F.when(in_span, F.sum("ind").over(w_s))
+        )
+        .withColumn(
+            "span_start",
+            F.when(
+                in_span,
+                F.min(F.when(F.col("ind") == 1, F.col("node_idx"))).over(w_s),
+            ),
+        )
+        .withColumn(
+            "span_end",
+            F.when(
+                in_span,
+                F.max(F.when(F.col("ind") == 1, F.col("node_idx"))).over(w_s),
+            ),
+        )
+    )
+    keep = (
+        in_span
+        & (F.col("span_main") >= min_main)
+        & F.col("span_start").isNotNull()
+        & F.col("node_idx").between(F.col("span_start"), F.col("span_end"))
+    )
+    return (
+        df.withColumn("in_kept_span", keep)
+        .withColumn("selected", keep & F.col("is_fg"))
+        .drop("sisl", "merged", "dil", "ind")
+    )

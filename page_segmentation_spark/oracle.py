@@ -1,0 +1,203 @@
+"""Single-node oracle: the full extraction pipeline on one document.
+
+This is the executable specification of the engine's semantics — the
+analog of running the reference pipeline eagerly on one page
+(predict lifecycle, reference lib/predictor.py:27-42 →
+lib/postprocess.py:9-26 → lib/pc_segmentation.py:24-60).  The Spark
+pipeline in :mod:`page_segmentation_spark.plans.extract` must produce
+byte-identical ``extracted_text`` and equal span offsets per url
+(SURVEY.md §5 golden-output tests).
+
+Stages (with reference citations):
+  1. parse       — html -> ordered node records (lib/dataset.py:160-191)
+  2. normalize   — per-doc median fg block length, A12 char-height analog
+                   (lib/image_ops.py:58-82)
+  3. features    — multi-scale integer window sums (lib/model.py:45-92)
+  4. classify    — linear scorer argmax, first-max ties (lib/network.py:248-260)
+  5. cc vote     — majority vote over maximal fg runs
+                   (vote_connected_component_class, lib/postprocess.py:9-26;
+                   4-connectivity in 1-D == consecutive-run islands)
+  6. dilate      — radius-1 windowed max (lib/pc_segmentation.py:63-67)
+  7. span cut    — gaps-and-islands with split_size gap filter and
+                   min-main segment filter (lib/xycut.py:112-117,164-173)
+  8. extract     — in-order concat of fg node texts inside spans
+                   (order preservation, lib/pc_segmentation.py:114-116)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+from page_segmentation_spark.config import (
+    CLS_MAIN,
+    ExtractSettings,
+    derive_thresholds,
+)
+from page_segmentation_spark.functions import scorer_core as sc
+from page_segmentation_spark.html_parse import parse_html
+
+
+def _window_sums(vals: List[int], radius: int) -> List[int]:
+    """Sliding integer sum over [i-radius, i+radius] clipped to bounds —
+    the 1-D analog of a conv window; exact (integers)."""
+    n = len(vals)
+    prefix = [0] * (n + 1)
+    for i, v in enumerate(vals):
+        prefix[i + 1] = prefix[i] + v
+    out = []
+    for i in range(n):
+        lo = max(0, i - radius)
+        hi = min(n - 1, i + radius)
+        out.append(prefix[hi + 1] - prefix[lo])
+    return out
+
+
+def char_median(nodes: List[Dict[str, Any]]) -> float:
+    """A12 normalization stat: exact median of fg-node n_chars."""
+    fg = sorted(n["n_chars"] for n in nodes if n["is_fg"])
+    return sc.exact_median(fg)
+
+
+def score_nodes(nodes: List[Dict[str, Any]]) -> Tuple[List[int], float]:
+    """Stages 2-4: per-node predicted class (raw, pre-vote)."""
+    if not nodes:
+        return [], 0.0
+    med = char_median(nodes)
+    chars = [n["n_chars"] for n in nodes]
+    links = [n["n_link_chars"] for n in nodes]
+    loc_c = _window_sums(chars, sc.LOCAL_RADIUS)
+    loc_l = _window_sums(links, sc.LOCAL_RADIUS)
+    sec_c = _window_sums(chars, sc.SECTION_RADIUS)
+    sec_l = _window_sums(links, sc.SECTION_RADIUS)
+    doc_c = sum(chars)
+    doc_l = sum(links)
+    n = len(nodes)
+    preds = []
+    for i, node in enumerate(nodes):
+        feats = sc.build_features(
+            node, med, loc_c[i], loc_l[i], sec_c[i], sec_l[i], doc_c, doc_l, n
+        )
+        preds.append(sc.classify(feats))
+    return preds, med
+
+
+def cc_majority_vote(
+    nodes: List[Dict[str, Any]], preds: List[int]
+) -> List[int]:
+    """Stage 5: connected components = maximal runs of consecutive fg
+    nodes sharing the same tag (the 1-D analog of a glyph/blob-scale
+    binary component — structurally homogeneous, smaller than a region);
+    every member gets the run's most frequent class, ties to the lowest
+    class id (np.argmax(bins[1:]) first-max,
+    reference lib/postprocess.py:19-24).  Non-fg nodes keep their raw
+    prediction (only binary-fg pixels belong to components in the
+    reference)."""
+    voted = list(preds)
+    i = 0
+    n = len(nodes)
+    while i < n:
+        if not nodes[i]["is_fg"]:
+            i += 1
+            continue
+        j = i
+        while j < n and nodes[j]["is_fg"] and nodes[j]["tag"] == nodes[i]["tag"]:
+            j += 1
+        counts: Dict[int, int] = {}
+        for k in range(i, j):
+            counts[preds[k]] = counts.get(preds[k], 0) + 1
+        win = min(
+            counts, key=lambda c: (-counts[c], c)
+        )  # max count, lowest class id on ties
+        for k in range(i, j):
+            voted[k] = win
+        i = j
+    return voted
+
+
+def cut_spans(
+    nodes: List[Dict[str, Any]],
+    voted: List[int],
+    settings: ExtractSettings,
+    char_med: float,
+) -> List[Tuple[int, int, int]]:
+    """Stages 6-7: (start_idx, end_idx_inclusive, n_main) spans.
+
+    indicator = node is fg AND voted main; dilate by radius; merge gaps
+    shorter than split_size (W4-derived); keep segments with at least
+    min_main original main nodes (px_threshold analog,
+    reference lib/xycut.py:148,166,170)."""
+    n = len(nodes)
+    if n == 0:
+        return []
+    split_size, min_main = derive_thresholds(char_med)
+    ind = [
+        1 if (voted[i] == CLS_MAIN and nodes[i]["is_fg"]) else 0
+        for i in range(n)
+    ]
+    # dilation: windowed max, radius settings.dilate_radius (P15)
+    r = settings.dilate_radius
+    dil = [
+        1 if any(ind[max(0, i - r): min(n, i + r + 1)]) else 0
+        for i in range(n)
+    ]
+    # merge gaps < split_size that lie BETWEEN segments (sentinel gaps at
+    # the borders are never merged — reference adds Gap(0,0)/Gap(len,0)
+    # sentinels instead, lib/xycut.py:165-166)
+    merged = list(dil)
+    i = 0
+    while i < n:
+        if merged[i] == 0:
+            j = i
+            while j < n and merged[j] == 0:
+                j += 1
+            interior = i > 0 and j < n
+            if interior and (j - i) < split_size:
+                for k in range(i, j):
+                    merged[k] = 1
+            i = j
+        else:
+            i += 1
+    # islands of merged==1 -> spans; trim each island to its raw-main
+    # extents (dilation is for connectivity only — segments cover exactly
+    # the content extent, like xy-cut segments between gaps); keep those
+    # with >= min_main raw main nodes.
+    spans: List[Tuple[int, int, int]] = []
+    i = 0
+    while i < n:
+        if merged[i] == 1:
+            j = i
+            while j < n and merged[j] == 1:
+                j += 1
+            members = [k for k in range(i, j) if ind[k] == 1]
+            if len(members) >= min_main and members:
+                spans.append((members[0], members[-1], len(members)))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def extract_document(
+    html: bytes | str, settings: ExtractSettings | None = None
+) -> Dict[str, Any]:
+    """Full pipeline for one page.  Returns
+    {extracted_text, spans:[(start,end,n_main)], n_nodes, char_med}."""
+    settings = settings or ExtractSettings()
+    nodes = parse_html(html, max_nodes=settings.max_nodes_per_doc)
+    preds, med = score_nodes(nodes)
+    if "cc_majority" in settings.post_process:
+        preds = cc_majority_vote(nodes, preds)
+    spans = cut_spans(nodes, preds, settings, med)
+    texts: List[str] = []
+    for (s, e, _c) in spans:
+        for k in range(s, e + 1):
+            if nodes[k]["is_fg"]:
+                texts.append(nodes[k]["text"])
+    return {
+        "extracted_text": settings.separator.join(texts),
+        "spans": spans,
+        "n_nodes": len(nodes),
+        "char_med": med,
+        "nodes": nodes,
+        "preds": preds,
+    }

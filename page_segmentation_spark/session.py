@@ -1,0 +1,45 @@
+"""SparkSession factory with engine defaults (AQE on, Arrow tuned)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "page_segmentation_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    b = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        # AQE: runtime coalescing + skew-split (north_rule: adaptive
+        # repartitioning for skewed giant pages)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow channel: the reference's maxtasksperchild analog — bounds
+        # per-batch memory of the parse UDF (SURVEY §2.1 S4)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or os.environ.get("SPARK_GRAFT_CPUS", 32)),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    # ship this package to executor Python workers (the spark-submit
+    # --py-files analog; required whenever the driver imported us from a
+    # path executors don't share)
+    from page_segmentation_spark.packaging import ship_package
+
+    ship_package(spark)
+    return spark

@@ -1,0 +1,69 @@
+"""Spark parse stage: pages -> exploded DOM-node table.
+
+The analog of ``DatasetLoader.load_images`` + ``prepare_images``
+(reference lib/dataset.py:131-198): Arrow-batched ``mapInPandas`` over the
+pages table, calling the *shared* pure-Python parser
+(:func:`page_segmentation_spark.html_parse.parse_html`) so Spark output and
+oracle output agree byte-for-byte.  The reference's
+``multiprocessing.Pool(12, maxtasksperchild=100)`` (lib/dataset.py:195)
+becomes Spark task parallelism; the worker-recycling analog is the Arrow
+batch size (``spark.sql.execution.arrow.maxRecordsPerBatch``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from page_segmentation_spark.config import MAX_NODES_PER_DOC
+from page_segmentation_spark.html_parse import NODE_FIELDS, parse_html
+
+NODE_SCHEMA = (
+    "url string, node_idx long, tag string, depth int, text string, "
+    "is_fg boolean, n_chars long, n_tokens long, n_link_chars long, "
+    "n_punct long, n_digits long, n_upper long, n_alpha long, n_stop long"
+)
+_COLS = ["url"] + NODE_FIELDS
+
+
+def parse_pages(pages: DataFrame, max_nodes: int = MAX_NODES_PER_DOC) -> DataFrame:
+    """(url, html, ...) -> node table.  Column-pruned input: only url+html
+    cross the Arrow channel (Catalyst prunes the parquet scan to these two
+    columns — check ReadSchema in explain)."""
+    pruned = pages.select("url", "html")
+
+    def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                recs = parse_html(html, max_nodes=max_nodes)
+                if not recs:
+                    # sentinel row so zero-node documents survive the
+                    # groupBy without a (broadcast-unfriendly) re-join of
+                    # 10^12 urls; filtered from n_nodes by node_idx >= 0
+                    recs = [_SENTINEL.copy()]
+                for rec in recs:
+                    rec["url"] = url
+                    out.append(rec)
+            yield pd.DataFrame(out, columns=_COLS)
+
+    return pruned.mapInPandas(parse_batches, schema=NODE_SCHEMA)
+
+
+_SENTINEL = {
+    "node_idx": -1,
+    "tag": "",
+    "depth": 0,
+    "text": "",
+    "is_fg": False,
+    "n_chars": 0,
+    "n_tokens": 0,
+    "n_link_chars": 0,
+    "n_punct": 0,
+    "n_digits": 0,
+    "n_upper": 0,
+    "n_alpha": 0,
+    "n_stop": 0,
+}

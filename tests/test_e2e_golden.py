@@ -1,0 +1,68 @@
+"""Golden end-to-end tests (SURVEY.md §5.1/§5.3): the Spark pipeline must
+produce byte-identical extracted_text + equal spans vs the single-node
+oracle, under any partitioning, with the designed physical plan."""
+
+import re
+
+import pytest
+
+from page_segmentation_spark.datagen import make_page, pages_df
+from page_segmentation_spark.oracle import extract_document
+from page_segmentation_spark.plans.extract import extract
+
+N_DOCS = 51  # covers all 17 edge-case kinds three times
+
+
+def _oracle_results(n):
+    out = {}
+    for i in range(n):
+        p = make_page(i)
+        r = extract_document(p["html"])
+        out[p["url"]] = r
+    return out
+
+
+@pytest.fixture(scope="module")
+def golden():
+    return _oracle_results(N_DOCS)
+
+
+def _check(spark_rows, golden):
+    assert len(spark_rows) == len(golden)
+    for row in spark_rows:
+        o = golden[row["url"]]
+        assert row["extracted_text"] == o["extracted_text"], row["url"]
+        got = [(s["start"], s["end"], s["n_main"]) for s in row["spans"]]
+        assert got == o["spans"], row["url"]
+        assert row["n_nodes"] == o["n_nodes"], row["url"]
+
+
+def test_byte_identical_vs_oracle(spark, golden):
+    pages = pages_df(spark, N_DOCS, partitions=4)
+    _check(extract(pages).collect(), golden)
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_partitioning_invariance(spark, golden, parts):
+    """Repartition(k) must not change any output byte (W7 determinism,
+    reference ordered-imap lib/dataset.py:196)."""
+    pages = pages_df(spark, N_DOCS, partitions=3).repartition(parts)
+    _check(extract(pages).collect(), golden)
+
+
+def test_physical_plan_single_exchange_no_python_rows(spark):
+    """Scale audit: exactly one shuffle after parse; Python only via
+    Arrow (MapInPandas), never BatchEvalPython (SURVEY §7 hard parts)."""
+    pages = pages_df(spark, 8, partitions=2)
+    plan = extract(pages)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BatchEvalPython") == 0
+    shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert shuffles == 1, f"expected 1 shuffle, got {shuffles}\n{plan}"
+
+
+def test_empty_and_no_main_docs_present(spark):
+    pages = pages_df(spark, 2, partitions=1)  # doc 0: empty, doc 1: no main
+    rows = {r["url"]: r for r in extract(pages).collect()}
+    assert len(rows) == 2
+    for r in rows.values():
+        assert r["extracted_text"] == ""

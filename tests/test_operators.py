@@ -1,0 +1,83 @@
+"""Spark operator unit tests on tiny hand-written frames (FIXTURES.md §7)."""
+
+from pyspark.sql import functions as F
+
+from page_segmentation_spark.operators.islands import with_islands
+from page_segmentation_spark.operators.vote import cc_majority
+from page_segmentation_spark.operators.spans import with_spans
+from page_segmentation_spark.config import ExtractSettings
+
+
+def _nodes_df(spark, rows):
+    """rows: (node_idx, tag, is_fg, pred_raw)"""
+    df = spark.createDataFrame(
+        [("u1", i, t, fg, p) for (i, t, fg, p) in rows],
+        "url string, node_idx long, tag string, is_fg boolean, pred_raw int",
+    )
+    return df
+
+
+def test_islands_basic(spark):
+    df = spark.createDataFrame(
+        [("u", i, v) for i, v in enumerate([1, 1, 0, 0, 1, 0])],
+        "url string, node_idx long, v int",
+    )
+    out = (
+        with_islands(df, ["v"]).orderBy("node_idx").select("island_id").collect()
+    )
+    assert [r[0] for r in out] == [1, 1, 2, 2, 3, 4]
+
+
+def test_cc_majority_tie_and_breaks(spark):
+    rows = [
+        (0, "li", True, 0),
+        (1, "li", True, 1),  # li-run tie {0,1} -> 0
+        (2, "p", True, 1),
+        (3, "img", False, 2),  # non-fg keeps raw
+        (4, "p", True, 0),
+        (5, "p", True, 1),
+        (6, "p", True, 1),  # p-run majority 1
+    ]
+    out = (
+        cc_majority(_nodes_df(spark, rows))
+        .orderBy("node_idx")
+        .select("pred")
+        .collect()
+    )
+    assert [r[0] for r in out] == [0, 0, 1, 2, 1, 1, 1]
+
+
+def test_spans_merge_and_trim(spark):
+    rows = [(i, "p", True, p) for i, p in enumerate([0, 1, 1, 0, 1, 0, 0, 0, 2])]
+    df = (
+        _nodes_df(spark, rows)
+        .withColumn("pred", F.col("pred_raw"))
+        .withColumn("char_med", F.lit(50.0))
+        .withColumn("n_nodes", F.lit(9).cast("long"))
+    )
+    out = with_spans(df, ExtractSettings(dilate_radius=0)).orderBy("node_idx")
+    sel = [r["selected"] for r in out.collect()]
+    spans = {
+        (r["span_start"], r["span_end"], r["span_main"])
+        for r in out.where("in_kept_span").collect()
+    }
+    # gap at 3 (len1 < split 2) merges 1-2 with 4; gap 5-7 (len 3) cuts
+    assert spans == {(1, 4, 3)}
+    assert sel == [False, True, True, True, True, False, False, False, False]
+
+
+def test_spans_dilation_bridges(spark):
+    rows = [(i, "p", True, p) for i, p in enumerate([1, 0, 0, 0, 1])]
+    df = (
+        _nodes_df(spark, rows)
+        .withColumn("pred", F.col("pred_raw"))
+        .withColumn("char_med", F.lit(50.0))
+        .withColumn("n_nodes", F.lit(5).cast("long"))
+    )
+    out = with_spans(df, ExtractSettings(dilate_radius=1))
+    spans = {
+        (r["span_start"], r["span_end"], r["span_main"])
+        for r in out.where("in_kept_span").collect()
+    }
+    # dilation radius 1: gap 1-3 becomes just {2}, len 1 < 2 -> merged
+    assert spans == {(0, 4, 2)}
