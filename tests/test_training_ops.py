@@ -1,0 +1,219 @@
+"""Tests for the training-data pipeline operators: splits, dedup family,
+similarity search, text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from page_segmentation_spark.functions import text as T
+from page_segmentation_spark.functions.hashing import h32, h32_py
+from page_segmentation_spark.operators import dedup as D
+from page_segmentation_spark.operators import multimodal as MM
+from page_segmentation_spark.operators import similarity as S
+from page_segmentation_spark.operators.splits import (
+    create_splits,
+    fold_test,
+    fold_train,
+    single_split,
+)
+
+
+# ------------------------------------------------------------------ hashing
+
+def test_h32_matches_python(spark):
+    df = spark.createDataFrame([("abc",), ("",), ("ümlaut",)], "s string")
+    rows = df.select("s", h32(F.col("s")).alias("h")).collect()
+    for r in rows:
+        assert r["h"] == h32_py(r["s"])
+
+
+# ------------------------------------------------------------------- splits
+
+def test_single_split_fractions_and_determinism(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long")
+    out = single_split(df, "id", {"train": 0.8, "test": 0.1, "eval": -1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "test", "eval"}
+    assert 700 < counts["train"] < 900  # hash buckets ~80%
+    # determinism under repartition
+    out2 = single_split(
+        df.repartition(7), "id", {"train": 0.8, "test": 0.1, "eval": -1}
+    )
+    assert out.orderBy("id").collect() == out2.orderBy("id").collect()
+
+
+def test_single_split_validation(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        single_split(df, "id", {"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError):
+        single_split(df, "id", {"a": -1, "b": -1})
+
+
+def test_kfold_partition(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    folds = create_splits(df, "id", k=5)
+    n = df.count()
+    for f in range(5):
+        tr, te = fold_train(folds, f).count(), fold_test(folds, f).count()
+        assert tr + te == n
+    assert folds.select("fold").distinct().count() == 5
+
+
+# -------------------------------------------------------------------- dedup
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup
+        (2, "THE  Quick Brown   Fox jumps over the lazy dog "),  # norm dup
+        (3, "a completely different document about spark engines"),
+        (4, "the quick brown fox jumps over the sleepy dog"),  # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = D.exact_dedup(_docs(spark), "doc_id", "text").collect()
+    groups = {r["keep_id"]: r["dup_count"] for r in out}
+    assert groups[0] == 3  # docs 0,1,2 collapse after normalization
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_ngram_jaccard_near_dup(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard(
+            _docs(spark), "doc_id", "text", n=3, threshold=0.2
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0
+    assert 0.4 < pairs[(0, 4)] < 1.0  # one word differs
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(
+            _docs(spark), "doc_id", "text", n=3, n_perms=8, band_size=2
+        ).collect()
+    }
+    assert (0, 1) in cand and (0, 2) in cand and (1, 2) in cand
+    assert (0, 3) not in cand
+
+
+def test_simhash_identical_and_near(spark):
+    sh = {r["sid"]: r["simhash"] for r in
+          D.simhash16(_docs(spark), "doc_id", "text").collect()}
+    assert sh[0] == sh[1] == sh[2]
+    ham03 = bin(sh[0] ^ sh[3]).count("1")
+    ham04 = bin(sh[0] ^ sh[4]).count("1")
+    assert ham04 <= ham03  # near-dup closer than unrelated doc
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_neardup_pairs(
+            _docs(spark), "doc_id", "text", max_hamming=2
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs
+
+
+# --------------------------------------------------------------- similarity
+
+def _emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [0.8, 0.2, 0.1, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark):
+    top = S.brute_force_topk(_emb(spark), [1.0, 0.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in top] == [0, 1, 4]
+    assert top[0]["cos_sim"] == 1.0
+
+
+def test_lsh_bucket_topk_recall(spark):
+    exact = [r["vec_id"] for r in
+             S.brute_force_topk(_emb(spark), [1.0, 0.0, 0.0, 0.0], k=1).collect()]
+    approx = [r["vec_id"] for r in
+              S.lsh_bucket_topk(
+                  _emb(spark), [1.0, 0.0, 0.0, 0.0], k=1, n_planes=2
+              ).collect()]
+    assert approx[0] == exact[0]  # nearest vector shares the query bucket
+
+
+def test_embedding_neardup_pairs(spark):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_neardup_pairs(
+            _emb(spark), threshold=0.95, n_planes=2
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (0, 3) not in pairs
+
+
+# -------------------------------------------------------------- text analysis
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat sat on the mat and it is warm",),
+            ("der hund und die katze das ist gut",),
+            ("xyzzy plugh",),
+        ],
+        "text string",
+    )
+    out = [r[0] for r in df.select(T.lang_id(F.col("text"))).collect()]
+    assert out == ["en", "de", "und"]
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame([("Hello, world. Fine!",), ("",)], "text string")
+    rows = df.select(
+        T.token_count(F.col("text")).alias("t"),
+        T.word_token_count(F.col("text")).alias("b"),
+        T.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    assert rows[0]["t"] == 3 and rows[0]["b"] == 6
+    assert rows[1]["t"] == 0 and rows[1]["q"] == 0.0
+    assert 0.0 < rows[0]["q"] <= 1.0
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello   World",), ("hello world",)], "text string"
+    )
+    fps = [r[0] for r in df.select(T.fingerprint(F.col("text"))).collect()]
+    assert fps[0] == fps[1]
+
+
+# --------------------------------------------------------------- multimodal
+
+def test_multimodal_feature_plumbing(spark):
+    rows = [("u1", 0, b"\x89PNG fake"), ("u1", 1, None), ("u2", 0, b"JFIF x")]
+    df = spark.createDataFrame(rows, "url string, media_idx int, payload binary")
+    out = MM.extract_features(df, n_dims=4).collect()
+    assert len(out) == 3
+    by_key = {(r["url"], r["media_idx"]): r["feature"] for r in out}
+    assert by_key[("u1", 0)] == MM.fake_decode_features(b"\x89PNG fake", 4)
+    assert by_key[("u1", 1)] == MM.fake_decode_features(b"", 4)
+    assert all(0.0 <= v < 1.0 for f in by_key.values() for v in f)
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"anything")
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([("u", 25)], "url string, n_frames int")
+    idx = [r["frame_idx"] for r in
+           MM.frame_sample_plan(df, every_n=10).collect()]
+    assert idx == [0, 10, 20]

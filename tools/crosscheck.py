@@ -1,0 +1,125 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() twin on DuckDB at a given sf dir,
+compare row count, sorted-column schema, and order-insensitive value
+hash.  Usage: python tools/crosscheck.py [sf_dir] [name ...]"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+
+def norm_cell(v):
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
+    )
+    import hashlib
+
+    h = hashlib.md5()
+    for ln in lines:
+        h.update(ln.encode("utf-8"))
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from page_segmentation_spark.queries import ORACLE_SQL, QUERIES
+    from page_segmentation_spark.session import get_spark
+
+    spark = get_spark(app="crosscheck", master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = []
+    for name, fn in QUERIES.items():
+        if only and name not in only:
+            continue
+        sql = ORACLE_SQL.get(name)
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {ex}")
+            failures.append(name)
+            continue
+        if sql is None:
+            print(f"ok   {name}: rows-only check, {len(srows)} rows")
+            if len(srows) == 0:
+                print(f"WARN {name}: zero rows")
+            continue
+        try:
+            rel = con.sql(sql)
+            dcols = [c.lower() for c in rel.columns]
+            drows = rel.fetchall()
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {str(ex).splitlines()[0]}")
+            failures.append(name)
+            continue
+        scols_l = [c.lower() for c in scols]
+        problems = []
+        if sorted(scols_l) != sorted(dcols):
+            problems.append(f"schema {sorted(scols_l)} vs {sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rows {len(srows)} vs {len(drows)}")
+        sh = table_hash(scols_l, [tuple(r) for r in srows])
+        dh = table_hash(dcols, drows)
+        if sh != dh:
+            problems.append("value-hash mismatch")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            if "value-hash mismatch" in problems and len(srows) == len(drows):
+                order = sorted(range(len(scols_l)), key=lambda i: scols_l[i])
+                sset = sorted(
+                    tuple(norm_cell(r[i]) for i in order) for r in srows
+                )
+                dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                dset = sorted(
+                    tuple(norm_cell(r[i]) for i in dorder) for r in drows
+                )
+                for a, b in zip(sset, dset):
+                    if a != b:
+                        print(f"   spark : {a}\n   duckdb: {b}")
+                        break
+            failures.append(name)
+        else:
+            print(f"ok   {name}: {len(srows)} rows match")
+    print(
+        f"\n{len(failures)} failures"
+        + (f": {failures}" if failures else " — all match")
+    )
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
