@@ -36,18 +36,22 @@ def parse_pages(pages: DataFrame, max_nodes: int = MAX_NODES_PER_DOC) -> DataFra
 
     def parse_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
+            # columnar accumulation (pd.DataFrame from list-of-dicts is
+            # several times slower than from dict-of-lists)
+            cols: dict = {c: [] for c in _COLS}
             for url, html in zip(pdf["url"], pdf["html"]):
                 recs = parse_html(html, max_nodes=max_nodes)
                 if not recs:
                     # sentinel row so zero-node documents survive the
                     # groupBy without a (broadcast-unfriendly) re-join of
                     # 10^12 urls; filtered from n_nodes by node_idx >= 0
-                    recs = [_SENTINEL.copy()]
+                    recs = [_SENTINEL]
+                urls = cols["url"]
                 for rec in recs:
-                    rec["url"] = url
-                    out.append(rec)
-            yield pd.DataFrame(out, columns=_COLS)
+                    urls.append(url)
+                    for k in NODE_FIELDS:
+                        cols[k].append(rec[k])
+            yield pd.DataFrame(cols, columns=_COLS)
 
     return pruned.mapInPandas(parse_batches, schema=NODE_SCHEMA)
 
