@@ -51,6 +51,10 @@ class ExtractSettings:
     dilate_radius: int = 1
     #: ordered post-processor chain (reference lib/predictor.py:38-40).
     post_process: tuple = ("cc_majority",)
+    #: span former: 'default' (dilate+merge+trim), 'xycut' (W3), or
+    #: 'morphological' (P16) — the find_segments/get_text_contours choice
+    #: (reference lib/pc_segmentation.py:24-116).
+    span_former: str = "default"
     #: separator used when concatenating node texts (must match oracle).
     separator: str = "\n\n"
     n_classes: int = N_CLASSES

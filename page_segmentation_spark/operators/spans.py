@@ -101,3 +101,110 @@ def with_spans(nodes: DataFrame, settings: ExtractSettings) -> DataFrame:
         .withColumn("selected", keep & F.col("is_fg"))
         .drop("sisl", "merged", "dil", "ind")
     )
+
+
+def xycut_spans(nodes: DataFrame, settings: ExtractSettings) -> DataFrame:
+    """Faithful 1-D re-expression of the recursive XY-cut (W3,
+    ``recursive_cut``/``_get_segments``, reference lib/xycut.py:127-173):
+
+      * gaps = maximal zero-runs of the indicator; only gaps with
+        length >= split_size survive as cut points (lib/xycut.py:166);
+      * segments = maximal regions between kept gaps (they swallow the
+        short interior gaps) with length > px_threshold
+        (lib/xycut.py:170);
+      * recursion terminates at depth 1: DOM order has a single axis, so
+        the axis-flipped subproblem is the identity and re-cutting a
+        segment with the same thresholds finds no further kept gaps —
+        the reference's fixed point is reached immediately.
+
+    Produces the same output columns as :func:`with_spans`.
+    """
+    split_size = F.when(F.col("char_med") >= 40.0, F.lit(2)).otherwise(F.lit(3))
+    px_threshold = F.lit(settings.min_main_nodes)
+
+    ind = ((F.col("pred") == F.lit(CLS_MAIN)) & F.col("is_fg")).cast("int")
+    df = nodes.withColumn("ind", ind)
+
+    # gap runs and the kept-gap mask
+    df = with_islands(df, ["ind"], out_col="gisl")
+    w_g = Window.partitionBy("url", "gisl")
+    df = df.withColumn("g_len", F.count(F.lit(1)).over(w_g)).withColumn(
+        "in_kept_gap",
+        (F.col("ind") == 0) & (F.col("g_len") >= split_size),
+    )
+
+    # segments between kept gaps
+    df = with_islands(df, ["in_kept_gap"], out_col="sisl")
+    w_s = Window.partitionBy("url", "sisl")
+    in_seg = ~F.col("in_kept_gap")
+    df = (
+        df.withColumn("seg_len", F.count(F.lit(1)).over(w_s))
+        .withColumn(
+            "span_main", F.when(in_seg, F.sum("ind").over(w_s))
+        )
+        .withColumn("span_start", F.when(in_seg, F.min("node_idx").over(w_s)))
+        .withColumn("span_end", F.when(in_seg, F.max("node_idx").over(w_s)))
+    )
+    keep = in_seg & (F.col("seg_len") > px_threshold) & (F.col("span_main") > 0)
+    return (
+        df.withColumn("in_kept_span", keep)
+        .withColumn("selected", keep & F.col("is_fg"))
+        .drop("gisl", "g_len", "in_kept_gap", "sisl", "seg_len", "ind")
+    )
+
+
+def morphological_spans(nodes: DataFrame, settings: ExtractSettings) -> DataFrame:
+    """1-D re-expression of the morphological variant
+    (``get_text_contours``, reference lib/pc_segmentation.py:70-116):
+    close(k1) -> open(k_open) -> dilate(k1)+close(k1) over the main-
+    content indicator, with kernel widths derived from the per-doc
+    normalization stat (W4); contiguous runs of the result become spans
+    in document order (contours reversed to reading order,
+    lib/pc_segmentation.py:116 == orderBy span_start).
+
+    close = windowed max then min; open = min then max (P15/P16).
+    """
+    w_ord = Window.partitionBy("url").orderBy("node_idx")
+
+    def wmax(c, r):
+        return F.max(c).over(w_ord.rowsBetween(-r, r))
+
+    def wmin(c, r):
+        return F.min(c).over(w_ord.rowsBetween(-r, r))
+
+    # W4 width derivation, integer-only (char_height / char_height/3 /
+    # char_height/1.1 analog at node granularity)
+    k1 = 2  # close width
+    k_open = 1  # noise-removal width (k1 // 3 rounded up)
+
+    ind = ((F.col("pred") == F.lit(CLS_MAIN)) & F.col("is_fg")).cast("int")
+    df = nodes.withColumn("ind", ind)
+    df = df.withColumn("m1", wmin(wmax(F.col("ind"), k1), k1))  # close
+    df = df.withColumn("m2", wmax(wmin(F.col("m1"), k_open), k_open))  # open
+    df = df.withColumn("m3", wmin(wmax(wmax(F.col("m2"), k1), k1), k1))
+    # ^ dilate(k1) then close(k1) (max, then max+min)
+
+    df = with_islands(df, ["m3"], out_col="sisl")
+    w_s = Window.partitionBy("url", "sisl")
+    in_seg = F.col("m3") == 1
+    df = (
+        df.withColumn(
+            "span_main", F.when(in_seg, F.sum("ind").over(w_s))
+        )
+        .withColumn("span_start", F.when(in_seg, F.min("node_idx").over(w_s)))
+        .withColumn("span_end", F.when(in_seg, F.max("node_idx").over(w_s)))
+    )
+    keep = in_seg & (F.col("span_main") >= F.lit(settings.min_main_nodes))
+    return (
+        df.withColumn("in_kept_span", keep)
+        .withColumn("selected", keep & F.col("is_fg"))
+        .drop("sisl", "m1", "m2", "m3", "ind")
+    )
+
+
+#: span-former registry (the post-processor-registry pattern, SURVEY §2.8)
+SPAN_FORMERS = {
+    "default": with_spans,
+    "xycut": xycut_spans,
+    "morphological": morphological_spans,
+}

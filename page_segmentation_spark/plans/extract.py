@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from page_segmentation_spark.config import ExtractSettings
 from page_segmentation_spark.functions.features import featurize
 from page_segmentation_spark.functions.scorer import score
-from page_segmentation_spark.operators.spans import with_spans
+from page_segmentation_spark.operators.spans import SPAN_FORMERS
 from page_segmentation_spark.operators.vote import find_postprocessor, identity
 from page_segmentation_spark.sources.parse import parse_pages
 
@@ -60,7 +60,7 @@ def extract(pages: DataFrame, settings: ExtractSettings | None = None) -> DataFr
     extracted_text = '' — the oracle contract."""
     settings = settings or ExtractSettings()
     nodes = classified_nodes(pages, settings)
-    spanned = with_spans(nodes, settings)
+    spanned = SPAN_FORMERS[settings.span_former](nodes, settings)
 
     text_structs = F.when(
         F.col("selected"), F.struct("node_idx", "text")

@@ -874,3 +874,121 @@ def extract_flagship(spark, sf_dir):
         F.size("spans").cast("long").alias("n_spans"),
         "n_nodes",
     )
+
+
+@_q(
+    "w3_xycut_segments",
+    """
+    WITH base AS (
+      SELECT user_id, event_id,
+             CASE WHEN value > 66.0 THEN 1 ELSE 0 END AS ind
+      FROM events
+    ), m1 AS (
+      SELECT *, CASE WHEN lag(ind) OVER w IS DISTINCT FROM ind
+                     THEN 1 ELSE 0 END AS chg
+      FROM base WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ), g AS (
+      SELECT user_id, event_id, ind,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS UNBOUNDED PRECEDING) AS gisl
+      FROM m1
+    ), g2 AS (
+      SELECT *, count(*) OVER (PARTITION BY user_id, gisl) AS g_len
+      FROM g
+    ), k AS (
+      SELECT user_id, event_id, ind,
+             (ind = 0 AND g_len >= 3) AS in_kept_gap
+      FROM g2
+    ), m2 AS (
+      SELECT *, CASE WHEN lag(in_kept_gap) OVER w IS DISTINCT FROM
+                          in_kept_gap THEN 1 ELSE 0 END AS chg2
+      FROM k WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ), s AS (
+      SELECT user_id, event_id, ind, in_kept_gap,
+             sum(chg2) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS sisl
+      FROM m2
+    )
+    SELECT user_id, min(event_id) AS span_start, max(event_id) AS span_end,
+           sum(ind) AS n_main
+    FROM s WHERE NOT in_kept_gap
+    GROUP BY user_id, sisl
+    HAVING count(*) > 2 AND sum(ind) > 0
+    """,
+)
+def w3_xycut_segments(spark, sf_dir):
+    """W3 recursive XY-cut re-expression, exercised through the engine's
+    own xycut_spans operator over the events table (split_size=3 via
+    char_med<40, px_threshold=2)."""
+    from page_segmentation_spark.config import ExtractSettings
+    from page_segmentation_spark.operators.spans import xycut_spans
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("url"),
+        F.col("event_id").alias("node_idx"),
+        F.when(F.col("value") > 66.0, 1).otherwise(0).cast("int").alias("pred"),
+        F.lit(True).alias("is_fg"),
+        F.lit(30.0).alias("char_med"),
+        F.lit("p").alias("tag"),
+    )
+    from page_segmentation_spark.config import CLS_MAIN  # noqa: F401
+
+    # xycut_spans keys the indicator on pred == CLS_MAIN (1)
+    out = xycut_spans(e, ExtractSettings(min_main_nodes=2))
+    return (
+        out.where("in_kept_span")
+        .groupBy("url", "span_start", "span_end", "span_main")
+        .agg(F.count(F.lit(1)))
+        .select(
+            F.col("url").cast("long").alias("user_id"),
+            "span_start",
+            "span_end",
+            F.col("span_main").alias("n_main"),
+        )
+    )
+
+
+@_q(
+    "p12_points_parse",
+    """
+    WITH pts AS (
+      SELECT doc_id % 10 AS bucket,
+             (CAST(doc_id % 13 AS VARCHAR) || ',' ||
+              CAST(doc_id % 11 AS VARCHAR) || ' ' ||
+              CAST((doc_id * 3) % 13 AS VARCHAR) || ',' ||
+              CAST((doc_id * 7) % 11 AS VARCHAR)) AS pstr
+      FROM documents
+    ), exploded AS (
+      SELECT bucket,
+             CAST(split_part(t.p, ',', 1) AS INT) AS x,
+             CAST(split_part(t.p, ',', 2) AS INT) AS y
+      FROM pts, unnest(string_split(pstr, ' ')) AS t(p)
+    )
+    SELECT bucket, count(*) AS n_points, sum(x) AS sum_x, sum(y) AS sum_y
+    FROM exploded GROUP BY bucket
+    """,
+)
+def p12_points_parse(spark, sf_dir):
+    """P12 points-string decode ("x,y x,y" -> struct array,
+    reference lib/pagexml.py:161-167) exercised through the engine's
+    string_to_points column function."""
+    from page_segmentation_spark.sources.groundtruth import string_to_points
+
+    d = _t(spark, sf_dir, "documents")
+    pts = d.select(
+        (F.col("doc_id") % 10).alias("bucket"),
+        F.concat(
+            (F.col("doc_id") % 13).cast("string"), F.lit(","),
+            (F.col("doc_id") % 11).cast("string"), F.lit(" "),
+            ((F.col("doc_id") * 3) % 13).cast("string"), F.lit(","),
+            ((F.col("doc_id") * 7) % 11).cast("string"),
+        ).alias("pstr"),
+    )
+    parsed = pts.select(
+        "bucket", F.explode(string_to_points(F.col("pstr"))).alias("p")
+    )
+    return parsed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("p.x").alias("sum_x"),
+        F.sum("p.y").alias("sum_y"),
+    )

@@ -1,0 +1,40 @@
+"""Sink tests (S6/S8 analogs)."""
+
+from page_segmentation_spark.datagen import pages_df
+from page_segmentation_spark.plans.extract import classified_nodes, extract
+from page_segmentation_spark.sources.sinks import (
+    debug_overlay,
+    write_node_classes,
+    write_results,
+)
+
+
+def test_write_results_bucketed_append(spark, tmp_path):
+    out = str(tmp_path / "results")
+    pages = pages_df(spark, 10, partitions=2).cache()
+    res = extract(pages)
+    write_results(res, out, n_buckets=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 10
+    assert "bucket" in back.columns
+    # append mode: second write doubles rows (idempotence lives in the
+    # checkpoint protocol, not the raw sink)
+    write_results(res, out, n_buckets=4)
+    assert spark.read.parquet(out).count() == 20
+
+
+def test_write_node_classes(spark, tmp_path):
+    out = str(tmp_path / "classes")
+    nodes = classified_nodes(pages_df(spark, 5, partitions=1))
+    write_node_classes(nodes, out)
+    back = spark.read.parquet(out)
+    assert set(back.columns) == {"url", "node_idx", "tag", "pred", "is_fg"}
+    assert back.count() == nodes.count()
+
+
+def test_debug_overlay(spark):
+    nodes = classified_nodes(pages_df(spark, 8, partitions=1))
+    rows = debug_overlay(nodes).collect()
+    assert 0 < len(rows) <= 8
+    joined = "\n".join(r["overlay"] for r in rows)
+    assert "█" in joined and "[p]" in joined
