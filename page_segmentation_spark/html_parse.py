@@ -69,10 +69,33 @@ _UPPER_CHARS = string.ascii_uppercase + "".join(
 _LOWER_CHARS = string.ascii_lowercase + "".join(
     chr(c) for c in range(0xDF, 0x100) if c != 0xF7
 )
+_STOP_CACHE: Dict[str, int] = {}
+
+
+def _is_stopword(token: str) -> int:
+    """Memoized `token.lower().strip(punct) in STOPWORDS` — token
+    vocabulary repeats heavily, so the cache turns the per-token
+    lower/strip into a dict hit.  Pure function, bounded cache."""
+    v = _STOP_CACHE.get(token)
+    if v is None:
+        v = 1 if token.lower().strip(string.punctuation) in STOPWORDS else 0
+        if len(_STOP_CACHE) < 1_000_000:
+            _STOP_CACHE[token] = v
+    return v
+
+
 _DEL_PUNCT = str.maketrans("", "", string.punctuation)
 _DEL_DIGITS = str.maketrans("", "", string.digits)
 _DEL_UPPER = str.maketrans("", "", _UPPER_CHARS)
 _DEL_ALPHA = str.maketrans("", "", _UPPER_CHARS + _LOWER_CHARS)
+
+# bytes.translate uses a 256-entry C table (vs per-char dict lookups for
+# str.translate) — ~6x faster; valid for ASCII text, where byte classes
+# equal the str classes exactly.  Non-ASCII falls back to the str path.
+_BDEL_PUNCT = bytes(string.punctuation, "ascii")
+_BDEL_DIGITS = bytes(string.digits, "ascii")
+_BDEL_UPPER = bytes(string.ascii_uppercase, "ascii")
+_BDEL_ALPHA = bytes(string.ascii_letters, "ascii")
 
 
 def text_stats(text: str, n_link_chars: int) -> Dict[str, int]:
@@ -82,15 +105,19 @@ def text_stats(text: str, n_link_chars: int) -> Dict[str, int]:
     scorer is derived from these integers, so Spark/oracle cannot drift.
     """
     n = len(text)
-    n_punct = n - len(text.translate(_DEL_PUNCT))
-    n_digits = n - len(text.translate(_DEL_DIGITS))
-    n_alpha = n - len(text.translate(_DEL_ALPHA))
-    n_upper = n - len(text.translate(_DEL_UPPER))
+    if text.isascii():
+        b = text.encode("ascii")
+        n_punct = n - len(b.translate(None, _BDEL_PUNCT))
+        n_digits = n - len(b.translate(None, _BDEL_DIGITS))
+        n_alpha = n - len(b.translate(None, _BDEL_ALPHA))
+        n_upper = n - len(b.translate(None, _BDEL_UPPER))
+    else:
+        n_punct = n - len(text.translate(_DEL_PUNCT))
+        n_digits = n - len(text.translate(_DEL_DIGITS))
+        n_alpha = n - len(text.translate(_DEL_ALPHA))
+        n_upper = n - len(text.translate(_DEL_UPPER))
     tokens = text.split()
-    n_stop = 0
-    for t in tokens:
-        if t.lower().strip(string.punctuation) in STOPWORDS:
-            n_stop += 1
+    n_stop = sum(map(_is_stopword, tokens))
     return {
         "n_chars": len(text),
         "n_tokens": len(tokens),
@@ -202,7 +229,19 @@ class _BlockCollector(HTMLParser):
         self._flush()
 
 
-def parse_html(html: bytes | str, max_nodes: int = 50_000) -> List[Dict[str, Any]]:
+#: parser backend: 'tokenizer' (fast regex scanner, html_tokenize.py) or
+#: 'htmlparser' (stdlib html.parser).  Node streams are equal on
+#: well-formed pages (tested corpus-wide); oracle and Spark share this
+#: switch so byte-identity holds under either.  Env-controlled so Spark
+#: workers (which import this module from the shipped zip) honor it.
+import os as _os
+
+PARSER_BACKEND = _os.environ.get("PSS_PARSER_BACKEND", "tokenizer")
+
+
+def parse_html(
+    html: bytes | str, max_nodes: int = 50_000, backend: str | None = None
+) -> List[Dict[str, Any]]:
     """Parse one page into ordered node records.
 
     bytes are decoded as UTF-8 with replacement (deterministic); the
@@ -213,8 +252,14 @@ def parse_html(html: bytes | str, max_nodes: int = 50_000) -> List[Dict[str, Any
         html = bytes(html).decode("utf-8", errors="replace")
     collector = _BlockCollector(max_nodes=max_nodes)
     try:
-        collector.feed(html)
-        collector.close()
+        if (backend or PARSER_BACKEND) == "tokenizer":
+            from page_segmentation_spark.html_tokenize import feed_events
+
+            feed_events(collector, html)
+            collector._flush()
+        else:
+            collector.feed(html)
+            collector.close()
     except Exception:
         # malformed page: keep whatever was parsed (never fail a batch)
         collector._flush()
