@@ -1,0 +1,75 @@
+"""Structured-Streaming front-end for the extraction pipeline.
+
+The reference is strictly batch (its only "stream" is a pull generator,
+reference lib/predictor.py:27-30).  The graft adds an incremental mode
+for continuously-landing crawl data:
+
+  * :func:`stream_extract` — ``readStream`` over a pages directory ->
+    ``foreachBatch(extract)`` -> append sink.  Extraction is stateless
+    across documents (every window/groupBy is per-url), so micro-batch
+    semantics are exact: each page is extracted once, byte-identically
+    to the batch pipeline, and Spark's streaming checkpoint gives
+    exactly-once appends (complementing the batch-side bucket
+    checkpoint protocol in plans/checkpoint.py).
+  * :func:`crawl_stats_stream` — event-time windowed counts over
+    ``warc_ts`` with a watermark for late crawl records (the
+    operational metrics side-channel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from page_segmentation_spark.config import ExtractSettings
+from page_segmentation_spark.plans.extract import extract
+from page_segmentation_spark.sources.pages_schema import PAGES_DDL
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    settings: ExtractSettings | None = None,
+    trigger_available_now: bool = True,
+):
+    """Incrementally extract newly-landed page files.  Returns the
+    StreamingQuery (caller awaits termination)."""
+    pages = (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        result = extract(batch_df, settings)
+        result.write.mode("append").parquet(output_path)
+
+    writer = (
+        pages.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def crawl_stats_stream(
+    spark: SparkSession,
+    input_path: str,
+    watermark: str = "1 hour",
+    window: str = "1 hour",
+) -> DataFrame:
+    """Event-time crawl-rate aggregation with late-data handling:
+    (window, lang) -> page count + byte volume."""
+    pages = spark.readStream.schema(PAGES_DDL).parquet(input_path)
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window), F.col("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.length("html")).alias("html_bytes"),
+        )
+    )
