@@ -992,3 +992,127 @@ def p12_points_parse(spark, sf_dir):
         F.sum("p.x").alias("sum_x"),
         F.sum("p.y").alias("sum_y"),
     )
+
+
+@_q(
+    "f2_filename_verification",
+    """
+    SELECT count(*) AS n_verified
+    FROM (
+      SELECT o_custkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer)
+        AND o_custkey IN (SELECT s_suppkey FROM supplier)
+    )
+    """,
+)
+def f2_filename_verification(spark, sf_dir):
+    """F2: verified-intersection alignment (keep keys present in all
+    sources, reference lib/dataset.py:70-87) as chained left-semi joins."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey")
+    verified = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey, "left_semi"
+    ).join(F.broadcast(s), F.col("o_custkey") == s.s_suppkey, "left_semi")
+    return verified.agg(F.count(F.lit(1)).alias("n_verified"))
+
+
+@_q(
+    "x1_set_intersection",
+    """
+    SELECT count(*) AS n_common FROM (
+      SELECT c_nationkey AS k FROM customer
+      INTERSECT
+      SELECT s_nationkey AS k FROM supplier
+    )
+    """,
+)
+def x1_set_intersection(spark, sf_dir):
+    """X1: basename set intersection (reference lib/dataset.py:82-83)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s).agg(F.count(F.lit(1)).alias("n_common"))
+
+
+@_q(
+    "x4_section_concat",
+    """
+    SELECT src, count(*) AS n FROM (
+      SELECT 'cust' AS src, c_nationkey AS k FROM customer
+      UNION ALL
+      SELECT 'supp' AS src, s_nationkey AS k FROM supplier
+    ) GROUP BY src
+    """,
+)
+def x4_section_concat(spark, sf_dir):
+    """X4: section concat / unionByName (reference lib/dataset.py:203-204)."""
+    from page_segmentation_spark.operators.splits import union_sections
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.lit("cust").alias("src"), F.col("c_nationkey").alias("k")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lit("supp").alias("src"), F.col("s_nationkey").alias("k")
+    )
+    return union_sections([c, s]).groupBy("src").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@_q(
+    "a11_per_component_metric",
+    """
+    SELECT user_id AS cc_id,
+           round(avg(CASE WHEN (event_id % 3) = ((event_id % 4) % 3)
+                     THEN 1.0 ELSE 0.0 END), 6) AS acc
+    FROM events GROUP BY user_id
+    """,
+)
+def a11_per_component_metric(spark, sf_dir):
+    """A11: grouped-map metric fan-out through the engine's
+    run_per_component (applyInPandas) — any per-component pandas metric
+    (reference lib/evaluation.py:112-117)."""
+    import pandas as pd
+
+    from page_segmentation_spark import metrics as M
+    from page_segmentation_spark.packaging import ship_package
+
+    ship_package(spark)
+    e = _t(spark, sf_dir, "events").select(
+        F.lit("all").alias("url"),
+        F.col("user_id").alias("cc_id"),
+        (F.col("event_id") % 3).alias("pred"),
+        ((F.col("event_id") % 4) % 3).alias("label"),
+    )
+
+    def acc_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cc_id": [pdf["cc_id"].iloc[0]],
+                "acc": [
+                    round(float((pdf["pred"] == pdf["label"]).mean()), 6)
+                ],
+            }
+        )
+
+    return M.run_per_component(e, acc_fn, "cc_id long, acc double")
+
+
+@_q(
+    "p14_overlay_mask",
+    f"""
+    WITH d AS ({_DERIVED})
+    SELECT CASE WHEN is_fg THEN pred ELSE 0 END AS masked_class,
+           count(*) AS n
+    FROM d GROUP BY 1
+    """,
+)
+def p14_overlay_mask(spark, sf_dir):
+    """P14/F5: foreground masking — zero the class where not foreground
+    (reference lib/output.py:44-60, lib/network.py:146-147)."""
+    d = _derived_labels(_t(spark, sf_dir, "documents"))
+    return d.select(
+        F.when(F.col("is_fg"), F.col("pred")).otherwise(F.lit(0)).alias(
+            "masked_class"
+        )
+    ).groupBy("masked_class").agg(F.count(F.lit(1)).alias("n"))
