@@ -54,11 +54,19 @@ def with_context_sums(nodes: DataFrame) -> DataFrame:
     ordered = Window.partitionBy("url").orderBy("node_idx")
     loc = ordered.rowsBetween(-sc.LOCAL_RADIUS, sc.LOCAL_RADIUS)
     sec = ordered.rowsBetween(-sc.SECTION_RADIUS, sc.SECTION_RADIUS)
+    r = sc.DIRECTIONAL_RADIUS
+    fwd = ordered.rowsBetween(1, r)
+    bwd = ordered.rowsBetween(-r, -1)
+    z = F.lit(0).cast("long")  # empty one-sided frames sum to NULL -> 0
     return (
         nodes.withColumn("loc_chars", F.sum("n_chars").over(loc))
         .withColumn("loc_link", F.sum("n_link_chars").over(loc))
         .withColumn("sec_chars", F.sum("n_chars").over(sec))
         .withColumn("sec_link", F.sum("n_link_chars").over(sec))
+        .withColumn("fwd_chars", F.coalesce(F.sum("n_chars").over(fwd), z))
+        .withColumn("fwd_link", F.coalesce(F.sum("n_link_chars").over(fwd), z))
+        .withColumn("bwd_chars", F.coalesce(F.sum("n_chars").over(bwd), z))
+        .withColumn("bwd_link", F.coalesce(F.sum("n_link_chars").over(bwd), z))
     )
 
 
@@ -84,6 +92,8 @@ def with_features(nodes: DataFrame) -> DataFrame:
         d(F.col("sec_link")) / (d(F.col("sec_chars")) + F.lit(1.0)),
         d(F.col("doc_link")) / (d(F.col("doc_chars")) + F.lit(1.0)),
         d(F.col("node_idx")) / d(F.col("n_nodes")),
+        d(F.col("fwd_link")) / (d(F.col("fwd_chars")) + F.lit(1.0)),
+        d(F.col("bwd_link")) / (d(F.col("bwd_chars")) + F.lit(1.0)),
     )
     return nodes.withColumn("features", feats)
 

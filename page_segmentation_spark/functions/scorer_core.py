@@ -55,6 +55,8 @@ FEATURE_NAMES: List[str] = [
     "sec_link_density",  # f13: sum±8 link / (sum±8 chars + 1)
     "doc_link_density",  # f14: doc link chars / (doc chars + 1)   — page scale
     "rel_pos",           # f15: node_idx / n_nodes
+    "fwd_link_density",  # f16: sum(link[i+1..i+3]) / (sum(chars[i+1..i+3])+1)
+    "bwd_link_density",  # f17: sum(link[i-3..i-1]) / (sum(chars[i-3..i-1])+1)
 ]
 N_FEATURES = len(FEATURE_NAMES)
 
@@ -63,17 +65,24 @@ N_FEATURES = len(FEATURE_NAMES)
 #: both sides embed identical doubles.
 WEIGHTS: Dict[int, List[float]] = {
     CLS_BOILER: [-0.8, 3.0, -0.5, -0.5, 0.1, -0.5, 2.0, 0.0,
-                 0.5, 0.8, -0.6, 2.0, -0.3, 1.0, 0.5, 0.2],
+                 0.5, 0.8, -0.1, 2.0, -0.05, 1.0, 0.5, 0.2,
+                 2.0, 1.0],
     CLS_MAIN: [1.2, -4.0, 1.5, 2.0, -0.1, 1.0, -2.0, -4.0,
-               -1.0, -0.8, 0.8, -2.5, 0.5, -1.0, -0.5, -0.2],
+               -1.0, -0.8, 0.25, -2.5, 0.15, -1.0, -0.5, -0.2,
+               -2.5, -0.5],
     CLS_MEDIA: [-2.0, 0.0, 0.0, 0.0, 0.0, -1.0, -1.0, 6.0,
-                0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+                0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+                0.0, 0.0],
 }
 BIAS: Dict[int, float] = {CLS_BOILER: 0.5, CLS_MAIN: -0.4, CLS_MEDIA: -1.5}
 CLASS_ORDER = [CLS_BOILER, CLS_MAIN, CLS_MEDIA]
 
 LOCAL_RADIUS = 2
 SECTION_RADIUS = 8
+#: one-sided lookahead/lookbehind for the directional link features —
+#: a sidebar/nav header is FOLLOWED by a link list; symmetric windows
+#: can't see the asymmetry (the conv analog of a directional kernel).
+DIRECTIONAL_RADIUS = 3
 
 
 def exact_median(sorted_vals: Sequence[int]) -> float:
@@ -99,6 +108,10 @@ def build_features(
     doc_chars: int,
     doc_link: int,
     n_nodes: int,
+    fwd_chars: int = 0,
+    fwd_link: int = 0,
+    bwd_chars: int = 0,
+    bwd_link: int = 0,
 ) -> List[float]:
     """Assemble the feature vector for one node (oracle-side kernel).
 
@@ -123,6 +136,8 @@ def build_features(
         sec_link / (sec_chars + 1.0),
         doc_link / (doc_chars + 1.0),
         node["node_idx"] / float(n_nodes),
+        fwd_link / (fwd_chars + 1.0),
+        bwd_link / (bwd_chars + 1.0),
     ]
 
 

@@ -37,18 +37,24 @@ from page_segmentation_spark.functions import scorer_core as sc
 from page_segmentation_spark.html_parse import parse_html
 
 
-def _window_sums(vals: List[int], radius: int) -> List[int]:
-    """Sliding integer sum over [i-radius, i+radius] clipped to bounds —
-    the 1-D analog of a conv window; exact (integers)."""
+def _window_sums(
+    vals: List[int], radius: int, lo_off: int | None = None,
+    hi_off: int | None = None,
+) -> List[int]:
+    """Sliding integer sum over [i+lo_off, i+hi_off] clipped to bounds
+    (default symmetric ±radius) — the 1-D analog of a conv window;
+    exact (integers)."""
     n = len(vals)
+    lo_off = -radius if lo_off is None else lo_off
+    hi_off = radius if hi_off is None else hi_off
     prefix = [0] * (n + 1)
     for i, v in enumerate(vals):
         prefix[i + 1] = prefix[i] + v
     out = []
     for i in range(n):
-        lo = max(0, i - radius)
-        hi = min(n - 1, i + radius)
-        out.append(prefix[hi + 1] - prefix[lo])
+        lo = max(0, i + lo_off)
+        hi = min(n - 1, i + hi_off)
+        out.append(prefix[hi + 1] - prefix[lo] if hi >= lo else 0)
     return out
 
 
@@ -69,13 +75,19 @@ def score_nodes(nodes: List[Dict[str, Any]]) -> Tuple[List[int], float]:
     loc_l = _window_sums(links, sc.LOCAL_RADIUS)
     sec_c = _window_sums(chars, sc.SECTION_RADIUS)
     sec_l = _window_sums(links, sc.SECTION_RADIUS)
+    r = sc.DIRECTIONAL_RADIUS
+    fwd_c = _window_sums(chars, 0, 1, r)
+    fwd_l = _window_sums(links, 0, 1, r)
+    bwd_c = _window_sums(chars, 0, -r, -1)
+    bwd_l = _window_sums(links, 0, -r, -1)
     doc_c = sum(chars)
     doc_l = sum(links)
     n = len(nodes)
     preds = []
     for i, node in enumerate(nodes):
         feats = sc.build_features(
-            node, med, loc_c[i], loc_l[i], sec_c[i], sec_l[i], doc_c, doc_l, n
+            node, med, loc_c[i], loc_l[i], sec_c[i], sec_l[i], doc_c, doc_l,
+            n, fwd_c[i], fwd_l[i], bwd_c[i], bwd_l[i],
         )
         preds.append(sc.classify(feats))
     return preds, med

@@ -99,8 +99,10 @@ def test_exact_median_matches_spark_percentile():
 
 
 def test_classify_tie_prefers_lowest_class():
+    from page_segmentation_spark.functions.scorer_core import N_FEATURES
+
     # zero features -> logits = biases (0.5, -0.4, -1.5) -> class 0
-    feats = [0.0] * 16
+    feats = [0.0] * N_FEATURES
     assert classify(feats) == 0
     assert logit(feats, 0) == 0.5
 

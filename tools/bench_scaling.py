@@ -20,12 +20,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
+# single-JVM local mode: heap must scale with concurrent task buffers or
+# the 4N level spills/GCs where N does not, corrupting the comparison
+os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
 from page_segmentation_spark.session import get_spark
 from page_segmentation_spark.plans.extract import extract
 
 cpus = int(sys.argv[1]); corpus = sys.argv[2]
 spark = get_spark(app=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=cpus)
+                  shuffle_partitions=4 * cpus)  # smooth tail stragglers
 spark.sparkContext.setLogLevel("ERROR")
 pages = spark.read.parquet(corpus)
 n = pages.count()
@@ -34,7 +37,7 @@ n = pages.count()
 # 10^12 rows startup cost is amortized to nothing
 extract(pages).write.format("noop").mode("overwrite").save()
 best = None
-for _ in range(2):
+for _ in range(3):
     t0 = time.perf_counter()
     extract(pages).write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
