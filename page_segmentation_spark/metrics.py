@@ -185,3 +185,30 @@ def run_per_component(
     (url, cc_id) group (the reference's per-component generator,
     lib/evaluation.py:112-117) — the engine's UDAF extension point."""
     return df.groupBy(*list(by), cc).applyInPandas(metric_fn, schema=schema)
+
+
+def cc_relevance_filter(
+    df: DataFrame,
+    cls: int,
+    ratio_threshold: float = 0.1,
+    pred: str = "pred",
+    label: str = "label",
+    cc: str = "cc_id",
+    by: Sequence[str] = ("url",),
+) -> DataFrame:
+    """F7: keep a component iff its GT-label ratio >= threshold OR any
+    predicted element has the label (``ConnectedComponentEval.only_label``
+    / ``_filter``, reference lib/evaluation.py:85-103) — a HAVING over
+    per-component aggregates; rows of surviving components pass through."""
+    keys = [*by, cc]
+    g = df.groupBy(*keys).agg(
+        (
+            _cnt(F.col(label) == cls).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_gt_ratio"),
+        _cnt(F.col(pred) == cls).alias("_n_pred"),
+    )
+    keep = g.where(
+        (F.col("_gt_ratio") >= ratio_threshold) | (F.col("_n_pred") > 0)
+    ).select(*keys)
+    return df.join(keep, keys, "left_semi")

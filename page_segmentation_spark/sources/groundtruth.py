@@ -136,3 +136,10 @@ def write_labels(labels: DataFrame, path: str) -> None:
     labels.select("url", "node_idx", "gt_label").write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def filter_region_types(gt_spans: DataFrame, types) -> DataFrame:
+    """F3: ``PageRegions.only_types`` analog (reference
+    lib/pagexml.py:142-145) — keep only ground-truth regions of the
+    given types."""
+    return gt_spans.where(F.col("region_type").isin(*list(types)))

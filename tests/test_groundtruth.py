@@ -82,3 +82,16 @@ def test_end_to_end_eval_against_gt(spark):
     labeled = label_nodes(nodes, gt).withColumnRenamed("gt_label", "label")
     r = M.fgpa(labeled).first()
     assert r["fgpa"] is not None and 0.0 <= r["fgpa"] <= 1.0
+
+
+def test_filter_region_types(spark):
+    from page_segmentation_spark.sources.groundtruth import (
+        filter_region_types,
+    )
+
+    gt = parse_annotations(
+        spark.createDataFrame([("u1", XML)], "url string, labels_xml string")
+    )
+    out = filter_region_types(gt, ["paragraph"])
+    assert {r["region_type"] for r in out.collect()} == {"paragraph"}
+    assert out.count() == 2

@@ -94,3 +94,20 @@ def test_run_per_component(spark):
         ).collect()
     }
     assert abs(out[1] - 0.5) < 1e-12 and out[2] == 1.0
+
+
+def test_cc_relevance_filter(spark):
+    rows = [
+        # cc 1: 50% label-1 -> kept by ratio
+        ("u", 1, 0, 1), ("u", 1, 0, 0),
+        # cc 2: no label-1, but one predicted 1 -> kept by prediction
+        ("u", 2, 1, 0), ("u", 2, 0, 0),
+        # cc 3: neither -> dropped
+        ("u", 3, 0, 0), ("u", 3, 2, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, cc_id int, pred int, label int"
+    )
+    out = M.cc_relevance_filter(df, cls=1, ratio_threshold=0.4)
+    kept = {r["cc_id"] for r in out.collect()}
+    assert kept == {1, 2}

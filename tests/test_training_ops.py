@@ -217,3 +217,24 @@ def test_frame_sample_plan(spark):
     idx = [r["frame_idx"] for r in
            MM.frame_sample_plan(df, every_n=10).collect()]
     assert idx == [0, 10, 20]
+
+
+def test_widen_channels_and_remap(spark):
+    from page_segmentation_spark.functions.arrays import (
+        remap_to_original,
+        widen_channels,
+    )
+
+    df = spark.createDataFrame([(1.5,)], "x double")
+    assert df.select(widen_channels(F.col("x"))).first()[0] == [1.5, 1.5, 1.5]
+
+    orig = spark.createDataFrame(
+        [("u", i) for i in range(6)], "url string, node_idx long"
+    )
+    coarse = spark.createDataFrame(
+        [("u", 0, 10), ("u", 1, 20), ("u", 2, 30)],
+        "url string, node_idx long, pred int",
+    )
+    out = remap_to_original(orig, coarse, stride=2)
+    got = {r["node_idx"]: r["pred"] for r in out.collect()}
+    assert got == {0: 10, 1: 10, 2: 20, 3: 20, 4: 30, 5: 30}
