@@ -21,6 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# single-JVM local mode: heap scales with concurrent task buffers
+os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
 #: synthetic extraction corpus size per unit sf (sf0.1 -> 30k pages)
 PAGES_PER_SF = 300_000
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/pss_bench_cache")

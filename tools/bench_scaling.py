@@ -44,7 +44,7 @@ n = pages.count()
 # 10^12 rows startup cost is amortized to nothing
 extract(pages).write.format("noop").mode("overwrite").save()
 best = None
-for _ in range(3):
+for _ in range(4):
     t0 = time.perf_counter()
     extract(pages).write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
