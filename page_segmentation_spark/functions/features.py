@@ -49,15 +49,21 @@ def with_doc_stats(nodes: DataFrame) -> DataFrame:
 
 
 def with_context_sums(nodes: DataFrame) -> DataFrame:
-    """Sliding integer sums at local (±2) and section (±8) radii — the 1-D
-    conv/pool pyramid (P10)."""
+    """Sliding integer sums at local (±2), section (±8) and directional
+    (one-sided ±3) ranges — the 1-D conv/pool pyramid (P10).
+
+    All frames share one (partition, order) spec: a single sort serves
+    every frame; empty one-sided frames sum to NULL and are coalesced to
+    0 (the oracle returns 0 there).  A prefix-sum + lead/lag variant was
+    A/B'd and showed no robust win over the sliding frames on this box
+    (measurement noise ±2x); sliding is kept for simplicity."""
     ordered = Window.partitionBy("url").orderBy("node_idx")
     loc = ordered.rowsBetween(-sc.LOCAL_RADIUS, sc.LOCAL_RADIUS)
     sec = ordered.rowsBetween(-sc.SECTION_RADIUS, sc.SECTION_RADIUS)
     r = sc.DIRECTIONAL_RADIUS
     fwd = ordered.rowsBetween(1, r)
     bwd = ordered.rowsBetween(-r, -1)
-    z = F.lit(0).cast("long")  # empty one-sided frames sum to NULL -> 0
+    z = F.lit(0).cast("long")
     return (
         nodes.withColumn("loc_chars", F.sum("n_chars").over(loc))
         .withColumn("loc_link", F.sum("n_link_chars").over(loc))
