@@ -1116,3 +1116,68 @@ def p14_overlay_mask(spark, sf_dir):
             "masked_class"
         )
     ).groupBy("masked_class").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-style grouped pricing summary: partial-agg friendly
+    conditional sums with predicate pushdown to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "skew_two_phase_agg",
+    """
+    SELECT event_type,
+           sum(CAST(floor(value) AS BIGINT)) AS sum_v,
+           min(event_id) AS min_id,
+           max(event_id) AS max_id,
+           count(*) AS n_rows
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_two_phase_agg(spark, sf_dir):
+    """Salted two-phase aggregation through the engine's skew helper —
+    the oracle is the UNSALTED plain GROUP BY, proving salting on/off
+    equivalence at the driver gate (integer sums: exact)."""
+    from page_segmentation_spark.operators.skew import two_phase_agg
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast("bigint").alias("v"),
+        "event_id",
+    )
+    return two_phase_agg(
+        e,
+        ["event_type"],
+        lambda: [
+            F.sum("v").alias("sum_v"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            F.count(F.lit(1)).alias("n_rows"),
+        ],
+        n_salts=8,
+    )
