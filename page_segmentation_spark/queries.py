@@ -49,7 +49,8 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """
     SELECT n_name,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS total_price
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -67,7 +68,12 @@ def s1_triple_align(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            # sum exact cents (association-order safe), divide once
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                / 100.0,
+                2,
+            ).alias("total_price"),
         )
     )
 
@@ -104,7 +110,8 @@ def j5_range_join(spark, sf_dir):
     "a1_profile",
     """
     SELECT user_id,
-           sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS n_hits,
+           CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
            CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) >= 5 AS INT)
              AS profile_flag
     FROM events GROUP BY user_id
@@ -225,9 +232,12 @@ def _derived_labels(docs: DataFrame) -> DataFrame:
     f"""
     WITH d AS ({_DERIVED}), cls(c) AS (VALUES (0),(1),(2),(3))
     SELECT c AS cls,
-      sum(CASE WHEN is_fg AND pred=c AND label=c THEN 1 ELSE 0 END) AS tp,
-      sum(CASE WHEN is_fg AND pred=c AND label!=c THEN 1 ELSE 0 END) AS fp,
-      sum(CASE WHEN is_fg AND pred!=c AND label=c THEN 1 ELSE 0 END) AS fn,
+      CAST(sum(CASE WHEN is_fg AND pred=c AND label=c THEN 1 ELSE 0 END)
+           AS BIGINT) AS tp,
+      CAST(sum(CASE WHEN is_fg AND pred=c AND label!=c THEN 1 ELSE 0 END)
+           AS BIGINT) AS fp,
+      CAST(sum(CASE WHEN is_fg AND pred!=c AND label=c THEN 1 ELSE 0 END)
+           AS BIGINT) AS fn,
       round(CASE WHEN sum(CASE WHEN (is_fg AND pred=c) OR (is_fg AND label=c)
                          THEN 1 ELSE 0 END) > 0
         THEN sum(CASE WHEN is_fg AND pred=c AND label=c THEN 1 ELSE 0 END)
@@ -267,9 +277,12 @@ def a8_accuracy(spark, sf_dir):
     "a9_f1",
     f"""
     WITH d AS ({_DERIVED}), c AS (
-      SELECT sum(CASE WHEN pred=1 AND label=1 THEN 1 ELSE 0 END) AS tp,
-             sum(CASE WHEN pred=1 AND label!=1 THEN 1 ELSE 0 END) AS fp,
-             sum(CASE WHEN pred!=1 AND label=1 THEN 1 ELSE 0 END) AS fn
+      SELECT CAST(sum(CASE WHEN pred=1 AND label=1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN pred=1 AND label!=1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN pred!=1 AND label=1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fn
       FROM d)
     SELECT tp, fp, fn,
       round(CASE WHEN tp+fp > 0 THEN tp/CAST(tp+fp AS DOUBLE) ELSE 0.0 END, 6)
@@ -380,8 +393,9 @@ _ISLANDS_CTE = """
     WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
   ), isl AS (
     SELECT user_id, event_id, event_type,
-           sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
-                          ROWS UNBOUNDED PRECEDING) AS island_id
+           CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS island_id
     FROM marked
   )
 """
@@ -482,7 +496,9 @@ def x3_folds(spark, sf_dir):
 @_q(
     "f4_shape_filter",
     """
-    SELECT count(*) AS n_parts, round(sum(p_retailprice), 2) AS total_price
+    SELECT count(*) AS n_parts,
+           round(CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS total_price
     FROM part
     WHERE p_size > 10 AND p_size < 40
       AND p_retailprice / (p_size * 100.0) > 0.5
@@ -500,7 +516,11 @@ def f4_shape_filter(spark, sf_dir):
         & (ratio < 2.0)
     ).agg(
         F.count(F.lit(1)).alias("n_parts"),
-        F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+        F.round(
+            F.sum(F.round(F.col("p_retailprice") * 100).cast("bigint"))
+            / 100.0,
+            2,
+        ).alias("total_price"),
     )
 
 
@@ -763,11 +783,13 @@ def text_langid(spark, sf_dir):
     "text_tokens",
     """
     SELECT lang,
-      sum(CASE WHEN length(trim(text)) = 0 THEN 0
-          ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_tokens,
-      sum(CASE WHEN length(trim(text)) = 0 THEN 0
-          ELSE len(string_split_regex(trim(text), '\\s+')) END
-          + length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+      CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+        AS n_tokens,
+      CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+           ELSE len(string_split_regex(trim(text), '\\s+')) END
+           + length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+           AS BIGINT)
         AS n_tokens_bpe
     FROM documents GROUP BY lang
     """,
@@ -910,7 +932,7 @@ def extract_flagship(spark, sf_dir):
       FROM m2
     )
     SELECT user_id, min(event_id) AS span_start, max(event_id) AS span_end,
-           sum(ind) AS n_main
+           CAST(sum(ind) AS BIGINT) AS n_main
     FROM s WHERE NOT in_kept_gap
     GROUP BY user_id, sisl
     HAVING count(*) > 2 AND sum(ind) > 0
@@ -964,7 +986,9 @@ def w3_xycut_segments(spark, sf_dir):
              CAST(split_part(t.p, ',', 2) AS INT) AS y
       FROM pts, unnest(string_split(pstr, ' ')) AS t(p)
     )
-    SELECT bucket, count(*) AS n_points, sum(x) AS sum_x, sum(y) AS sum_y
+    SELECT bucket, count(*) AS n_points,
+           CAST(sum(x) AS BIGINT) AS sum_x,
+           CAST(sum(y) AS BIGINT) AS sum_y
     FROM exploded GROUP BY bucket
     """,
 )
@@ -1123,8 +1147,11 @@ def p14_overlay_mask(spark, sf_dir):
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) / 100.0, 2) AS sum_base_price,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      AS BIGINT) / 10000.0, 2) AS sum_disc_price,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -1135,14 +1162,19 @@ def agg_pricing_summary(spark, sf_dir):
     """TPC-H-Q1-style grouped pricing summary: partial-agg friendly
     conditional sums with predicate pushdown to the parquet scan."""
     li = _t(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact integer bases: price in cents, discount in integer percent —
+    # grouped sums are association-order safe; divide once for display
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("bigint")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(cents) / 100.0, 2).alias("sum_base_price"),
+            F.round(
+                F.sum(cents * (F.lit(100) - disc_pct)) / 10000.0, 2
+            ).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -1152,7 +1184,7 @@ def agg_pricing_summary(spark, sf_dir):
     "skew_two_phase_agg",
     """
     SELECT event_type,
-           sum(CAST(floor(value) AS BIGINT)) AS sum_v,
+           CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_v,
            min(event_id) AS min_id,
            max(event_id) AS max_id,
            count(*) AS n_rows
@@ -1167,7 +1199,9 @@ def skew_two_phase_agg(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events").select(
         "event_type",
-        F.col("value").cast("bigint").alias("v"),
+        # floor, not cast: cast truncates toward zero, floor toward -inf —
+        # they differ on negative values and the oracle uses floor.
+        F.floor("value").alias("v"),
         "event_id",
     )
     return two_phase_agg(

@@ -26,6 +26,45 @@ def norm_cell(v):
     return str(v)
 
 
+def arrow_type_class(t) -> str:
+    """Canonical value-type class as the driver's canonicalizer sees it.
+    DuckDB integer sum() yields HUGEINT (int128 -> arrow decimal), which
+    hashes differently from Spark's BIGINT — the class must match."""
+    import pyarrow as pa
+
+    if pa.types.is_decimal(t):
+        return "dec"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "ts"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    return str(t)
+
+
+def spark_type_class(dt) -> str:
+    from pyspark.sql import types as ST
+
+    if isinstance(dt, ST.DecimalType):
+        return "dec"
+    if isinstance(dt, (ST.ByteType, ST.ShortType, ST.IntegerType, ST.LongType)):
+        return "int"
+    if isinstance(dt, (ST.FloatType, ST.DoubleType)):
+        return "float"
+    if isinstance(dt, ST.BooleanType):
+        return "bool"
+    if isinstance(dt, (ST.TimestampType, ST.DateType)):
+        return "ts"
+    if isinstance(dt, ST.StringType):
+        return "str"
+    return dt.simpleString()
+
+
 def table_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted(
@@ -78,17 +117,35 @@ def main():
                 print(f"WARN {name}: zero rows")
             continue
         try:
-            rel = con.sql(sql)
-            dcols = [c.lower() for c in rel.columns]
-            drows = rel.fetchall()
+            tbl = con.sql(sql).fetch_arrow_table()
+            dcols = [c.lower() for c in tbl.column_names]
+            drows = [
+                tuple(rec[c] for c in tbl.column_names)
+                for rec in tbl.to_pylist()
+            ]
+            dtypes = {
+                c.lower(): arrow_type_class(f.type)
+                for c, f in zip(tbl.column_names, tbl.schema)
+            }
         except Exception as ex:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {str(ex).splitlines()[0]}")
             failures.append(name)
             continue
         scols_l = [c.lower() for c in scols]
+        stypes = {
+            f.name.lower(): spark_type_class(f.dataType) for f in sdf.schema
+        }
         problems = []
         if sorted(scols_l) != sorted(dcols):
             problems.append(f"schema {sorted(scols_l)} vs {sorted(dcols)}")
+        else:
+            badtypes = [
+                f"{c}: spark {stypes[c]} vs duckdb {dtypes[c]}"
+                for c in sorted(stypes)
+                if stypes[c] != dtypes.get(c)
+            ]
+            if badtypes:
+                problems.append("type-class mismatch " + "; ".join(badtypes))
         if len(srows) != len(drows):
             problems.append(f"rows {len(srows)} vs {len(drows)}")
         sh = table_hash(scols_l, [tuple(r) for r in srows])
