@@ -845,29 +845,47 @@ def text_fingerprint(spark, sf_dir):
 
 # ---------------------------------------------------------------- flagship
 
+# fixed filler sentence appended to both fixture paragraphs (see below)
+PAD = (
+    "The remainder of this paragraph is fixed filler prose that keeps "
+    "every fixture document inside the extractor's robust operating range."
+)
+
+
 def pages_from_documents(spark, sf_dir) -> DataFrame:
     """Deterministically wrap the testdata documents table into pages of
     the input_hint shape (url, warc_ts, html, text, lang) — JVM-side
     string building, no Python randomness."""
     d = _t(spark, sf_dir, "documents")
+    # Article-first template with pure-link boilerplate: every non-article
+    # node is a link (density 1) and the article has no link-adjacent
+    # borderline node, so the expected extraction is the same closed form
+    # for EVERY text length — which is what makes the DuckDB oracle twin
+    # (extract_flagship) exact rather than threshold-dependent.  A fixed
+    # filler sentence pads both paragraphs so even the shortest documents
+    # stay inside the extractor's robust operating range (texts under
+    # ~50 chars legitimately extract to nothing, which is byte-identical
+    # to the oracle but not a closed form).
     html = F.concat(
         F.lit(
             "<!DOCTYPE html><html><head><title>t</title>"
             "<script>x()</script></head><body>"
-            '<header><nav><ul><li><a href="/">Home</a></li>'
-            '<li><a href="/about">About us</a></li>'
-            '<li><a href="/contact">Contact</a></li></ul></nav></header>'
             "<article><h1>Document "
         ),
         F.col("doc_id").cast("string"),
         F.lit("</h1><p>"),
         F.col("text"),
-        F.lit("</p><p>"),
+        F.lit(" " + PAD + "</p><p>"),
         F.reverse(F.col("text")),
+        F.lit(" " + PAD),
         F.lit(
-            "</p></article><aside><h3>Related</h3>"
-            '<ul><li><a href="/p/1">More like this one</a></li>'
-            '<li><a href="/p/2">Another related link</a></li></ul></aside>'
+            "</p></article>"
+            '<aside><ul><li><a href="/p/1">More like this one</a></li>'
+            '<li><a href="/p/2">Another related link</a></li>'
+            '<li><a href="/p/3">A third suggestion</a></li></ul></aside>'
+            '<nav><ul><li><a href="/">Home</a></li>'
+            '<li><a href="/about">About us</a></li>'
+            '<li><a href="/contact">Contact</a></li></ul></nav>'
             '<footer><p>© 2024 <a href="/terms">terms</a> '
             '<a href="/privacy">privacy</a></p></footer></body></html>'
         ),
@@ -881,7 +899,21 @@ def pages_from_documents(spark, sf_dir) -> DataFrame:
     )
 
 
-@_q("extract_flagship")  # non-SQL-expressible: rows-only driver check
+_PAD_SQL = PAD.replace("'", "''")
+
+
+@_q(
+    "extract_flagship",
+    f"""
+    SELECT 'https://testdata/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           'Document ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+             || text || ' {_PAD_SQL}' || chr(10) || chr(10)
+             || reverse(text) || ' {_PAD_SQL}' AS extracted_text,
+           CAST(1 AS BIGINT) AS n_spans,
+           CAST(10 AS BIGINT) AS n_nodes
+    FROM documents
+    """,
+)
 def extract_flagship(spark, sf_dir):
     """The flagship extraction pipeline over testdata-derived pages."""
     from page_segmentation_spark.packaging import ship_package
