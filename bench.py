@@ -21,8 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# single-JVM local mode: heap scales with concurrent task buffers
-os.environ.setdefault("SPARK_DRIVER_MEM", "32g")
+# single-JVM local mode: heap must scale with concurrent task buffers or
+# the high-parallelism run spills/GCs (same tuning as tools/bench_scaling)
+os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
 #: synthetic extraction corpus size per unit sf (sf0.1 -> 30k pages)
 PAGES_PER_SF = 300_000
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/pss_bench_cache")
@@ -59,7 +60,10 @@ def main() -> None:
     from page_segmentation_spark.queries import QUERIES, pages_from_documents
     from page_segmentation_spark.session import get_spark
 
-    spark = get_spark(app="pss-bench", master=master, shuffle_partitions=CPUS)
+    # 4x shuffle partitions smooths tail stragglers (same as bench_scaling)
+    spark = get_spark(
+        app="pss-bench", master=master, shuffle_partitions=4 * CPUS
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     sf = sf_of(SF_DIR)
@@ -70,17 +74,28 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     # q1: flagship synthetic-corpus extraction (the headline).
-    # One full warm-up pass first: the metric is steady-state throughput
-    # (JIT/codegen/python-worker spin-up amortizes to nothing at real
-    # scale), and warm best-of-2 cuts local[32] scheduling variance.
+    # The metric is steady-state throughput: at 100 TB a job runs for
+    # hours and JIT/codegen/python-worker spin-up amortizes to nothing,
+    # but in a fresh local JVM the same job speeds up ~3x over the first
+    # few iterations as C2 compilation kicks in.  So warm up UNTIL
+    # CONVERGED (improvement < 10% run-over-run, capped), then report the
+    # median of 3 measured runs (median, not best — reproducibility).
     pages = spark.read.parquet(corpus)
-    materialize(extract(pages))
-    t_best = None
-    for _ in range(2):
+    prev = None
+    for _ in range(6):
         t0 = time.perf_counter()
         materialize(extract(pages))
-        t_best = min(t_best or 1e9, time.perf_counter() - t0)
-    timings["extract_synthetic"] = round(t_best, 3)
+        dt = time.perf_counter() - t0
+        if prev is not None and dt > prev * 0.9:
+            break
+        prev = dt
+    measured = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        materialize(extract(pages))
+        measured.append(time.perf_counter() - t0)
+    timings["extract_synthetic"] = round(sorted(measured)[1], 3)
+    extras["extract_synthetic_runs"] = [round(m, 3) for m in measured]
     extras["docs_per_sec"] = round(n_pages / timings["extract_synthetic"], 1)
     extras["n_pages"] = n_pages
 

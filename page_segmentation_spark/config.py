@@ -40,11 +40,12 @@ class ExtractSettings:
     reference lib/postprocess.py:45-64).
     """
 
-    #: gap (consecutive non-main nodes, after dilation) required to cut a
-    #: span — ``split_size`` analog (reference lib/xycut.py:166).
-    split_size: int = 2
     #: minimum number of *originally main* nodes a span must contain to be
     #: kept — ``px_threshold`` analog (reference lib/xycut.py:148,170).
+    #: Read by BOTH the Spark span formers and oracle.cut_spans (mirror
+    #: sites; byte-identity).  The gap width (``split_size`` analog,
+    #: reference lib/xycut.py:166) is NOT a setting: both sides derive it
+    #: from char_med via :func:`derive_thresholds`.
     min_main_nodes: int = 1
     #: dilation radius in nodes (reference lib/pc_segmentation.py:63-67 is
     #: a 3x3 kernel == radius 1).

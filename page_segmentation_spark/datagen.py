@@ -142,6 +142,107 @@ def gen_pages(n: int, seed: int = 42, start: int = 0) -> Iterator[Dict[str, obje
         yield make_page(i, seed)
 
 
+# ------------------------------------------------------------ PDF fixtures
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def build_pdf(blocks: List[tuple], compress: bool = False) -> bytes:
+    """Minimal valid single-page PDF from (font_size, text) blocks — one
+    BT..ET text object per block, optional FlateDecode content stream,
+    correct xref offsets.  Deterministic; stdlib-only."""
+    import zlib
+
+    ops, y = [], 760
+    for size, text in blocks:
+        ops.append(
+            f"BT /F1 {size:g} Tf 72 {y} Td ({_pdf_escape(text)}) Tj ET"
+        )
+        y -= 20
+    content = "\n".join(ops).encode("latin-1", errors="replace")
+    filt = ""
+    if compress:
+        content = zlib.compress(content, 6)
+        filt = " /Filter /FlateDecode"
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        f"<< /Length {len(content)}{filt} >>\nstream\n".encode("ascii")
+        + content
+        + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode("ascii") + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode("ascii")
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode("ascii")
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode("ascii")
+    return bytes(out)
+
+
+def make_pdf_page(doc_id: int, seed: int = 42) -> Dict[str, object]:
+    """Deterministic PDF page row (same input_hint shape as make_page):
+    title (h1-sized), body paragraphs, and a URL-bearing footer line.
+    Odd doc_ids get a FlateDecode content stream, even ids raw."""
+    rng = random.Random((seed << 32) ^ doc_id ^ 0x5DF0)
+    lang = "de" if doc_id % 5 == 3 else "en"
+    words = _WORDS_DE if lang == "de" else _WORDS_EN
+    title = _sentence(rng, words, rng.randint(4, 8))
+    paras = [
+        _paragraph(rng, words, rng.randint(2, 4))
+        for _ in range(rng.randint(3, 8))
+    ]
+    footer = (
+        "Visit http://example.test/terms or www.example.test/privacy "
+        "for the legal notices"
+    )
+    blocks = [(24, title)] + [(11, p) for p in paras] + [(9, footer)]
+    pdf = build_pdf(blocks, compress=(doc_id % 2 == 1))
+    ts = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=doc_id % 31_536_000)
+    return {
+        "url": f"https://example-{doc_id % 1000}.test/doc/{doc_id}.pdf",
+        "warc_ts": ts,
+        "html": pdf,  # input_hint column carries the raw byte stream
+        "text": " ".join(paras),
+        "lang": lang,
+    }
+
+
+def mixed_pages_df(spark, n: int, seed: int = 42, partitions: int = 8,
+                   pdf_every: int = 4):
+    """Mixed HTML + PDF corpus: every ``pdf_every``-th page is a PDF byte
+    stream — exercises the format-dispatching parse front-end."""
+    import pandas as pd
+
+    ids = spark.range(0, n, 1, partitions).withColumnRenamed("id", "doc_id")
+
+    def build(batches):
+        for pdf in batches:
+            rows = [
+                make_pdf_page(int(i), seed)
+                if int(i) % pdf_every == 0
+                else make_page(int(i), seed)
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return ids.mapInPandas(build, schema=PAGES_SCHEMA)
+
+
 PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
 )

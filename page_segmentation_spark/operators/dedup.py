@@ -77,15 +77,23 @@ def ngram_jaccard(
     """All-pairs (id_a < id_b) word-n-gram Jaccard >= threshold.
 
     Blocking: pass ``block_col`` to restrict pairs to equal blocks
-    (e.g. an LSH bucket or a source partition) — the pair join then
-    shuffles on (block, shingle) instead of exploding globally."""
+    (e.g. a source partition or a blocking key; one block value per doc)
+    — the pair join then shuffles on (block, shingle) instead of
+    exploding globally."""
     sh = shingle_rows(df, id_col, text_col, n)
+    if block_col is not None:
+        blocks = df.select(
+            F.col(id_col).alias("sid"), F.col(block_col).alias("block")
+        )
+        sh = sh.join(blocks, "sid")
     sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (
         F.col("a.sid") < F.col("b.sid")
     )
+    if block_col is not None:
+        cond = cond & (F.col("a.block") == F.col("b.block"))
     inter = (
         a.join(b, cond)
         .groupBy(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
@@ -185,21 +193,77 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def simhash_neardup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2
 ) -> DataFrame:
-    """Near-dup candidates by SimHash hamming distance; joins on the two
-    8-bit halves (pigeonhole: hamming<=2 pairs share at least one half
-    only when distance concentrates — used as a recall-oriented blocker,
-    verified by exact hamming filter)."""
+    """Near-dup candidates by SimHash hamming distance, blocked on the two
+    8-bit halves (recall-oriented: a pair is a candidate when either half
+    matches exactly), then verified by the exact hamming filter.
+
+    Scale: the half-match blocking is a UNION of two equi-joins — each
+    hash-partitions on its half — never an OR-join, which Spark can only
+    plan as a nested-loop (quadratic at 10^12 rows).  distinct() dedups
+    pairs whose both halves match."""
     s = simhash16(df, id_col, text_col)
     s = s.withColumn("hi", F.shiftright("simhash", 8)).withColumn(
         "lo", F.col("simhash").bitwiseAND(F.lit(255))
     )
-    a, b = s.alias("a"), s.alias("b")
-    block = (F.col("a.hi") == F.col("b.hi")) | (F.col("a.lo") == F.col("b.lo"))
-    cand = a.join(b, block & (F.col("a.sid") < F.col("b.sid")))
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    ham = F.bit_count(xor)
-    return cand.select(
-        F.col("a.sid").alias("id_a"),
-        F.col("b.sid").alias("id_b"),
-        ham.alias("hamming"),
-    ).where(F.col("hamming") <= max_hamming).distinct()
+
+    def half_block(col: str) -> DataFrame:
+        a, b = s.alias("a"), s.alias("b")
+        return a.join(
+            b,
+            (F.col(f"a.{col}") == F.col(f"b.{col}"))
+            & (F.col("a.sid") < F.col("b.sid")),
+        ).select(
+            F.col("a.sid").alias("id_a"),
+            F.col("b.sid").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+
+    cand = half_block("hi").unionByName(half_block("lo"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_perms: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Two-stage candidate -> verify dedup: banded MinHash-LSH proposes
+    candidate pairs, exact n-gram Jaccard verifies them — computed ONLY
+    for candidates (candidates join the shingle table twice on
+    hash-partitionable keys), never all-pairs.  This is the production
+    near-dup pipeline shape at 10^12 docs."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, n, n_perms, band_size)
+    sh = shingle_rows(df, id_col, text_col, n)
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("id_a") == F.col("sa.sid"))
+        .join(
+            sh.alias("sb"),
+            (F.col("id_b") == F.col("sb.sid"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("sid", "id_a"), "id_a")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(sizes.withColumnRenamed("sid", "id_b"), "id_b")
+        .withColumnRenamed("n_sh", "n_b")
+    )
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return out.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)

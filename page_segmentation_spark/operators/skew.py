@@ -37,7 +37,13 @@ def with_salt(
 ) -> DataFrame:
     """Deterministic per-row salt in [0, n_salts): derived from a stable
     row hash (never rand() — resumability and retry-safety demand
-    deterministic salting)."""
+    deterministic salting, and tests assert repartition-invariance).
+
+    Assumes row-distinct input: fully duplicated rows hash to the same
+    salt and still land in one reduce task.  If the hot key consists of
+    identical rows, give the input a discriminating column first (an id,
+    an offset) — do NOT mix in spark_partition_id(), which would make
+    the salt depend on physical layout and break resumability."""
     h = F.xxhash64(*[F.col(c) for c in df.columns])
     return df.withColumn(out_col, F.pmod(h, F.lit(n_salts)).cast("int"))
 
@@ -62,7 +68,10 @@ def two_phase_agg(
     partial results on keys alone.
 
     ``aggs`` must return aggregate Columns that are valid for BOTH
-    phases (sum/min/max/count-as-sum style).  Aliases are reused."""
+    phases (sum/min/max/count-as-sum style), aliased with a prefix from
+    the re-fold whitelist: ``sum_``/``n_``/``cnt_`` (re-summed) or
+    ``min_``/``max_``.  Non-decomposable aggregates (avg_x, first_x)
+    are rejected — re-summing them would be silently wrong."""
     partial = with_salt(df, n_salts).groupBy(*keys, "salt").agg(*aggs())
     return partial.groupBy(*keys).agg(
         *[
@@ -72,14 +81,23 @@ def two_phase_agg(
     )
 
 
+_REFOLD_PREFIXES = ("sum_", "min_", "max_", "n_", "cnt_")
+
+
 def _refold(name: str) -> Column:
-    """Final-phase re-fold by alias convention: cnt_*/n_* are summed,
-    min_*/max_* take min/max, sum_* are summed."""
-    if name.startswith(("min_",)):
+    """Final-phase re-fold by alias convention: sum_*/n_*/cnt_* are
+    summed, min_*/max_* take min/max; anything else raises."""
+    if name.startswith("min_"):
         return F.min(name).alias(name)
-    if name.startswith(("max_",)):
+    if name.startswith("max_"):
         return F.max(name).alias(name)
-    return F.sum(name).alias(name)
+    if name.startswith(("sum_", "n_", "cnt_")):
+        return F.sum(name).alias(name)
+    raise ValueError(
+        f"two_phase_agg alias {name!r} lacks a decomposable-aggregate "
+        f"prefix {_REFOLD_PREFIXES}; non-decomposable aggregates (avg, "
+        "first, ...) cannot be re-folded across salts"
+    )
 
 
 def skew_report(df: DataFrame, key: str) -> DataFrame:

@@ -34,7 +34,7 @@ from page_segmentation_spark.config import (
     derive_thresholds,
 )
 from page_segmentation_spark.functions import scorer_core as sc
-from page_segmentation_spark.html_parse import parse_html
+from page_segmentation_spark.page_parse import parse_page
 
 
 def _window_sums(
@@ -137,11 +137,16 @@ def cut_spans(
     indicator = node is fg AND voted main; dilate by radius; merge gaps
     shorter than split_size (W4-derived); keep segments with at least
     min_main original main nodes (px_threshold analog,
-    reference lib/xycut.py:148,166,170)."""
+    reference lib/xycut.py:148,166,170).
+
+    min_main comes from ``settings.min_main_nodes`` — the SAME source the
+    Spark side reads (operators/spans.py with_spans) so a non-default
+    setting cannot break the byte-identity invariant."""
     n = len(nodes)
     if n == 0:
         return []
-    split_size, min_main = derive_thresholds(char_med)
+    split_size, _ = derive_thresholds(char_med)
+    min_main = settings.min_main_nodes
     ind = [
         1 if (voted[i] == CLS_MAIN and nodes[i]["is_fg"]) else 0
         for i in range(n)
@@ -192,10 +197,11 @@ def cut_spans(
 def extract_document(
     html: bytes | str, settings: ExtractSettings | None = None
 ) -> Dict[str, Any]:
-    """Full pipeline for one page.  Returns
+    """Full pipeline for one page (HTML or PDF byte stream — format
+    detected by parse_page).  Returns
     {extracted_text, spans:[(start,end,n_main)], n_nodes, char_med}."""
     settings = settings or ExtractSettings()
-    nodes = parse_html(html, max_nodes=settings.max_nodes_per_doc)
+    nodes = parse_page(html, max_nodes=settings.max_nodes_per_doc)
     preds, med = score_nodes(nodes)
     if "cc_majority" in settings.post_process:
         preds = cc_majority_vote(nodes, preds)

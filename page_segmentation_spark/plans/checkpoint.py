@@ -34,6 +34,38 @@ def bucket_of(col, n_buckets: int):
     return (h32(col.cast("string")) % n_buckets).cast("int")
 
 
+def input_fingerprint(
+    spark: SparkSession, source: str, format: str = "parquet"
+) -> str:
+    """Stable fingerprint of the INPUT table state, for keying checkpoint
+    manifests to the exact input snapshot (re-run over changed input must
+    recompute, not skip).
+
+    * ``format="iceberg"``: the table's current snapshot id — the real
+      thing (``<table>.snapshots`` metadata table; config-complete, needs
+      the Iceberg runtime per sources/sinks.py docstring).
+    * ``format="parquet"``: md5 over the sorted (relative path, size)
+      listing of the directory — the sandbox stand-in for a snapshot id.
+    """
+    import hashlib
+
+    if format == "iceberg":
+        row = spark.sql(
+            f"SELECT snapshot_id FROM {source}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).first()
+        return f"iceberg-snapshot-{row[0] if row else 'empty'}"
+    h = hashlib.md5()
+    for root, _dirs, files in sorted(os.walk(source)):
+        for fname in sorted(files):
+            if fname.startswith((".", "_")):
+                continue  # _SUCCESS / .crc are not data
+            rel = os.path.relpath(os.path.join(root, fname), source)
+            size = os.path.getsize(os.path.join(root, fname))
+            h.update(f"{rel}\x1f{size}\n".encode())
+    return f"files-{h.hexdigest()}"
+
+
 def _manifest_path(output_dir: str, k: int) -> str:
     return os.path.join(output_dir, "_progress", f"bucket={k}.json")
 

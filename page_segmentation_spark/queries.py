@@ -681,6 +681,82 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash16(d, "doc_id", "text")
 
 
+@_q(
+    "dedup_simhash_pairs",
+    f"""
+    WITH sims AS ({_simhash_sql()}),
+    h AS (
+      SELECT sid, simhash, simhash // 256 AS hi, simhash % 256 AS lo
+      FROM sims
+    ), cand AS (
+      SELECT a.sid AS id_a, b.sid AS id_b,
+             a.simhash AS sh_a, b.simhash AS sh_b
+      FROM h a JOIN h b ON a.hi = b.hi AND a.sid < b.sid
+      UNION ALL
+      SELECT a.sid, b.sid, a.simhash, b.simhash
+      FROM h a JOIN h b ON a.lo = b.lo AND a.sid < b.sid
+    )
+    SELECT DISTINCT id_a, id_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: union of two half-equi-joins (hash-
+    partitionable; never an OR nested-loop join) + exact hamming verify."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return D.simhash_neardup_pairs(d, "doc_id", "text", max_hamming=6)
+
+
+@_q(
+    "dedup_lsh_verified",
+    _SHINGLES2_CTE
+    + f"""
+    , wide AS (
+      SELECT sid, {', '.join(_minhash_sql_cols())}
+      FROM sh GROUP BY sid
+    ), sig AS (
+      SELECT sid, t.perm, t.minhash
+      FROM wide, unnest([
+        {', '.join(f"{{'perm': {i}, 'minhash': mh_{i}}}" for i in range(8))}
+      ]) AS u(t)
+    ), buckets AS (
+      SELECT sid, CAST(perm // 1 AS INT) AS band,
+             md5(string_agg(CAST(minhash AS VARCHAR), ','
+                            ORDER BY minhash)) AS bucket
+      FROM sig GROUP BY sid, CAST(perm // 1 AS INT)
+    ), cand AS (
+      SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+      FROM buckets a
+      JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.sid < b.sid
+    ), sizes AS (SELECT sid, count(*) AS n_sh FROM sh GROUP BY sid),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.sid = c.id_a
+      JOIN sh b ON b.sid = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6)
+             AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.sid = id_a
+    JOIN sizes sb ON sb.sid = id_b
+    WHERE n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.05
+    """,
+)
+def dedup_lsh_verified(spark, sf_dir):
+    """Two-stage candidate->verify near-dup pipeline: MinHash-LSH blocks,
+    exact 3-gram Jaccard verification computed only on candidates — the
+    shape that scales to 10^12 docs."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    return D.lsh_verified_pairs(
+        d, "doc_id", "text", n=2, n_perms=8, band_size=1, threshold=0.05
+    )
+
+
 # -------------------------------------------------------------- similarity
 
 def _dot_sql(a: str, b: str, dim: int = 64) -> str:

@@ -23,7 +23,8 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 
 from page_segmentation_spark.config import MAX_NODES_PER_DOC
-from page_segmentation_spark.html_parse import NODE_FIELDS, parse_html
+from page_segmentation_spark.html_parse import NODE_FIELDS
+from page_segmentation_spark.page_parse import parse_page
 
 NODE_SCHEMA = (
     "url string, node_idx long, tag string, depth int, text string, "
@@ -82,7 +83,7 @@ def parse_pages(pages: DataFrame, max_nodes: int = MAX_NODES_PER_DOC) -> DataFra
             cols: dict = {c: [] for c in _COLS}
             url_out = cols["url"]
             for url, html in zip(urls, htmls):
-                recs = parse_html(html, max_nodes=max_nodes)
+                recs = parse_page(html, max_nodes=max_nodes)
                 if not recs:
                     # sentinel row so zero-node documents survive the
                     # groupBy without a (broadcast-unfriendly) re-join of

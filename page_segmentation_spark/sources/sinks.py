@@ -12,31 +12,73 @@ tables:
   * debug_overlay   — the overlay analog: per-node text with class
                       markers, for eyeballing classification quality
   * write_node_classes — the color-mask analog: per-node predicted class
+
+Iceberg (north_rule: the production table is Iceberg): the sinks take a
+``format`` parameter.  ``format="parquet"`` is the sandbox path (no
+Iceberg runtime jars in this container); ``format="iceberg"`` is
+config-complete — submit with
+
+    --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>
+    --conf spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog
+    --conf spark.sql.catalog.lake.type=hadoop   # or hive/rest
+    --conf spark.sql.catalog.lake.warehouse=<warehouse path>
+
+and pass ``format="iceberg", table="lake.db.results"``.  The bucket
+column doubles as the Iceberg partition spec, so appends stay balanced
+and reads partition-prune identically in both formats.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from page_segmentation_spark.functions.hashing import h32
 
 DEFAULT_BUCKETS = 256
+FORMATS = ("parquet", "iceberg")
 
 
 def write_results(
-    results: DataFrame, path: str, n_buckets: int = DEFAULT_BUCKETS,
-    mode: str = "append",
+    results: DataFrame, path: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS, mode: str = "append",
+    format: str = "parquet", table: str | None = None,
 ) -> None:
-    """S6: append results partitioned by url-hash bucket."""
-    (
-        results.withColumn(
-            "bucket", (h32(F.col("url")) % n_buckets).cast("int")
-        )
-        .write.mode(mode)
-        .partitionBy("bucket")
-        .parquet(path)
+    """S6: append results partitioned by url-hash bucket.
+
+    ``format="parquet"`` writes ``path`` (directory layout, bucket=k
+    subdirs); ``format="iceberg"`` writes catalog ``table`` via the V2
+    writer (requires the Iceberg catalog conf — module docstring)."""
+    if format not in FORMATS:
+        raise ValueError(f"format must be one of {FORMATS}, got {format!r}")
+    out = results.withColumn(
+        "bucket", (h32(F.col("url")) % n_buckets).cast("int")
     )
+    if format == "parquet":
+        if path is None:
+            raise ValueError("format='parquet' requires path")
+        out.write.mode(mode).partitionBy("bucket").parquet(path)
+        return
+    if table is None:
+        raise ValueError("format='iceberg' requires table")
+    writer = out.writeTo(table).using("iceberg").partitionedBy(F.col("bucket"))
+    if mode == "overwrite":
+        writer.createOrReplace()
+    else:
+        writer.createOrReplace() if mode == "create" else writer.append()
+
+
+def read_results(
+    spark: SparkSession, path: str | None = None, format: str = "parquet",
+    table: str | None = None,
+) -> DataFrame:
+    """Read the results table back (partition-pruned on ``bucket`` in
+    both formats)."""
+    if format == "parquet":
+        return spark.read.parquet(path)
+    if format == "iceberg":
+        return spark.read.format("iceberg").load(table)
+    raise ValueError(f"format must be one of {FORMATS}, got {format!r}")
 
 
 def write_node_classes(nodes: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -47,6 +47,38 @@ def test_checkpoint_resume_idempotent(spark, tmp_path):
     assert summary2["completed"] == [] and len(summary2["skipped"]) == 4
 
 
+def test_input_fingerprint_tracks_table_state(spark, tmp_path):
+    """Snapshot-keyed resume (Iceberg-snapshot analog): same input ->
+    same fingerprint -> skip; changed input -> new fingerprint ->
+    recompute."""
+    from page_segmentation_spark.plans.checkpoint import input_fingerprint
+
+    src = str(tmp_path / "input")
+    pages_df(spark, 8, partitions=1).write.mode("overwrite").parquet(src)
+    fp1 = input_fingerprint(spark, src)
+    assert fp1 == input_fingerprint(spark, src)  # stable
+
+    out = str(tmp_path / "ckpt3")
+    s1 = run_checkpointed(
+        spark, spark.read.parquet(src), extract, out,
+        n_buckets=2, fingerprint=fp1,
+    )
+    assert len(s1["completed"]) == 2
+
+    # input "snapshot" advances: append more pages
+    pages_df(spark, 4, partitions=1).write.mode("append").parquet(src)
+    fp2 = input_fingerprint(spark, src)
+    assert fp2 != fp1
+    s2 = run_checkpointed(
+        spark, spark.read.parquet(src), extract, out,
+        n_buckets=2, fingerprint=fp2,
+    )
+    assert len(s2["completed"]) == 2  # stale manifests do not skip
+    # appended doc_ids 0-3 collide with existing urls; extract dedups by
+    # url, so the recomputed table still holds the 8 distinct urls
+    assert read_result(spark, out).select("url").distinct().count() == 8
+
+
 def test_checkpoint_fingerprint_invalidates(spark, tmp_path):
     out = str(tmp_path / "ckpt2")
     pages = pages_df(spark, 8, partitions=1)

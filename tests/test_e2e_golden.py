@@ -60,6 +60,28 @@ def test_physical_plan_single_exchange_no_python_rows(spark):
     assert shuffles == 1, f"expected 1 shuffle, got {shuffles}\n{plan}"
 
 
+def test_byte_identical_with_non_default_settings(spark):
+    """Non-default ExtractSettings must stay byte-identical: both sides
+    read min_main_nodes from the SAME settings field (mirror-site rule,
+    CLAUDE.md invariant #1 — regression for the silent divergence where
+    the oracle derived min_main while Spark read the setting)."""
+    from page_segmentation_spark.config import ExtractSettings
+
+    settings = ExtractSettings(min_main_nodes=5)
+    golden2 = {}
+    for i in range(N_DOCS):
+        p = make_page(i)
+        golden2[p["url"]] = extract_document(p["html"], settings)
+    pages = pages_df(spark, N_DOCS, partitions=4)
+    _check(extract(pages, settings).collect(), golden2)
+    # the setting must actually bite: some doc loses a span vs default
+    defaults = _oracle_results(N_DOCS)
+    assert any(
+        len(golden2[u]["spans"]) < len(defaults[u]["spans"])
+        for u in golden2
+    )
+
+
 def test_empty_and_no_main_docs_present(spark):
     pages = pages_df(spark, 2, partitions=1)  # doc 0: empty, doc 1: no main
     rows = {r["url"]: r for r in extract(pages).collect()}

@@ -1,0 +1,88 @@
+"""PDF byte-stream parse path (north-star: "HTML (and PDF byte streams)"):
+parser unit semantics + Spark-vs-oracle byte-identity on a mixed corpus."""
+
+from page_segmentation_spark.datagen import (
+    build_pdf,
+    make_pdf_page,
+    mixed_pages_df,
+)
+from page_segmentation_spark.oracle import extract_document
+from page_segmentation_spark.page_parse import parse_page
+from page_segmentation_spark.pdf_parse import parse_pdf
+from page_segmentation_spark.plans.extract import extract
+
+
+def test_pdf_nodes_tags_and_order():
+    pdf = build_pdf([(24, "Title line"), (11, "Body one"), (14, "Sub"),
+                     (9, "footer text")])
+    nodes = parse_pdf(pdf)
+    assert [n["tag"] for n in nodes] == ["h1", "p", "h2", "p"]
+    assert [n["text"] for n in nodes] == [
+        "Title line", "Body one", "Sub", "footer text"
+    ]
+    assert [n["node_idx"] for n in nodes] == [0, 1, 2, 3]
+    assert all(n["is_fg"] for n in nodes)
+
+
+def test_pdf_flate_and_raw_streams_equal():
+    blocks = [(24, "Same content"), (11, "in both encodings")]
+    raw = parse_pdf(build_pdf(blocks, compress=False))
+    flate = parse_pdf(build_pdf(blocks, compress=True))
+    assert raw == flate
+
+
+def test_pdf_string_escapes_and_hex():
+    pdf = build_pdf([(11, "parens (nested (deep)) and \\ slash")])
+    (n,) = parse_pdf(pdf)
+    assert n["text"] == "parens (nested (deep)) and \\ slash"
+    # hand-built hex string + octal escape
+    content = b"BT /F1 11 Tf 72 700 Td <48656C6C6F> Tj (\\110i) Tj ET"
+    stream = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length "
+        + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream\nendobj\n"
+    )
+    (n2,) = parse_pdf(stream)
+    assert n2["text"] == "HelloHi"  # hex 'Hello' + octal \110 = 'H'
+
+
+def test_pdf_url_link_chars():
+    pdf = build_pdf([(9, "go to http://a.test/x or www.b.test now")])
+    (n,) = parse_pdf(pdf)
+    assert n["n_link_chars"] == len("http://a.test/x") + len("www.b.test")
+
+
+def test_pdf_malformed_never_raises():
+    assert parse_pdf(b"%PDF-1.4 nothing here") == []
+    assert parse_pdf(b"\x00\x01\x02") == []
+    # truncated stream
+    assert parse_pdf(b"%PDF-1.4\n<< /Length 5 >>\nstream\nBT (x") == []
+
+
+def test_parse_page_dispatch():
+    row = make_pdf_page(2)
+    assert parse_page(row["html"])[0]["tag"] == "h1"
+    assert parse_page("<p>html text here</p>")[0]["tag"] == "p"
+
+
+def test_mixed_corpus_byte_identity(spark):
+    """The flagship plan over a mixed HTML+PDF corpus must equal the
+    oracle byte-for-byte on every url (CLAUDE.md invariant #1 extended to
+    the PDF front-end)."""
+    from page_segmentation_spark.datagen import make_page
+
+    n = 16
+    pages = mixed_pages_df(spark, n, partitions=3, pdf_every=4)
+    rows = {r["url"]: r for r in extract(pages).collect()}
+    assert len(rows) == n
+    n_pdf = 0
+    for i in range(n):
+        p = make_pdf_page(i) if i % 4 == 0 else make_page(i)
+        exp = extract_document(p["html"])
+        got = rows[p["url"]]
+        assert got["extracted_text"] == exp["extracted_text"], p["url"]
+        assert got["n_nodes"] == exp["n_nodes"], p["url"]
+        if i % 4 == 0:
+            n_pdf += 1
+            assert exp["n_nodes"] > 0  # PDFs really parsed
+    assert n_pdf == 4

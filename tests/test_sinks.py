@@ -23,6 +23,25 @@ def test_write_results_bucketed_append(spark, tmp_path):
     assert spark.read.parquet(out).count() == 20
 
 
+def test_write_results_format_param(spark, tmp_path):
+    import pytest
+
+    from page_segmentation_spark.sources.sinks import read_results
+
+    out = str(tmp_path / "fmt")
+    res = extract(pages_df(spark, 6, partitions=1))
+    write_results(res, out, n_buckets=2, format="parquet")
+    assert read_results(spark, out, format="parquet").count() == 6
+    with pytest.raises(ValueError):
+        write_results(res, out, format="csv")
+    with pytest.raises(ValueError):
+        write_results(res, format="iceberg")  # table required
+    # the iceberg branch is config-complete: without the catalog conf the
+    # V2 writer fails with a catalog/table resolution error, not a bug here
+    with pytest.raises(Exception):
+        write_results(res, format="iceberg", table="lake.db.results")
+
+
 def test_write_node_classes(spark, tmp_path):
     out = str(tmp_path / "classes")
     nodes = classified_nodes(pages_df(spark, 5, partitions=1))

@@ -119,6 +119,54 @@ def test_simhash_identical_and_near(spark):
     assert (0, 1) in pairs and (0, 2) in pairs
 
 
+def test_simhash_pairs_plan_is_hash_joinable(spark):
+    """The half-block must plan as equi-joins (union of two), never a
+    nested-loop OR-join — the quadratic scale-killer at 10^12 rows."""
+    plan = (
+        D.simhash_neardup_pairs(_docs(spark), "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_block_col_restricts_pairs(spark):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark).withColumn(
+        "blk", F.when(F.col("doc_id") < 2, "a").otherwise("b")
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.ngram_jaccard(
+            docs, "doc_id", "text", n=3, threshold=0.2, block_col="blk"
+        ).collect()
+    }
+    assert (0, 1) in pairs  # same block
+    assert (0, 2) not in pairs  # identical text but different block
+
+
+def test_lsh_verified_pairs_matches_exact_jaccard(spark):
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard(
+            _docs(spark), "doc_id", "text", n=3, threshold=0.2
+        ).collect()
+    }
+    verified = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.lsh_verified_pairs(
+            _docs(spark), "doc_id", "text", n=3, n_perms=8,
+            band_size=2, threshold=0.2,
+        ).collect()
+    }
+    # every verified candidate carries the exact all-pairs jaccard value
+    for pair, jac in verified.items():
+        assert exact[pair] == jac
+    assert (0, 1) in verified and (0, 2) in verified
+    assert (0, 3) not in verified
+
+
 # --------------------------------------------------------------- similarity
 
 def _emb(spark):

@@ -39,18 +39,26 @@ spark = get_spark(app=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
 spark.sparkContext.setLogLevel("ERROR")
 pages = spark.read.parquet(corpus)
 n = pages.count()
-# full warm-up run (JIT, codegen compile, Python worker pool) excluded
-# from timing — the scaling criterion is steady-state THROUGHPUT, and at
-# 10^12 rows startup cost is amortized to nothing
-extract(pages).write.format("noop").mode("overwrite").save()
-best = None
-for _ in range(4):
+# Warm up UNTIL CONVERGED (not a single pass): a fresh JVM speeds up ~3x
+# over the first few iterations as C2 JIT kicks in.  The scaling
+# criterion is steady-state THROUGHPUT — at 10^12 rows startup cost is
+# amortized to nothing.
+prev = None
+for _ in range(5):
     t0 = time.perf_counter()
     extract(pages).write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
-    best = dt if best is None else min(best, dt)
-print("RESULT " + json.dumps({{"cpus": cpus, "sec": round(best, 3),
-      "docs_per_sec": round(n / best, 1), "n_pages": n}}))
+    if prev is not None and dt > prev * 0.9:
+        break
+    prev = dt
+runs = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    extract(pages).write.format("noop").mode("overwrite").save()
+    runs.append(round(time.perf_counter() - t0, 3))
+med = sorted(runs)[len(runs) // 2]
+print("RESULT " + json.dumps({{"cpus": cpus, "sec": med, "runs": runs,
+      "docs_per_sec": round(n / med, 1), "n_pages": n}}))
 spark.stop()
 """
 
@@ -90,6 +98,11 @@ def main() -> None:
     hi = run_level(n4_level, corpus)
     speedup = lo["sec"] / hi["sec"]
     efficiency = round(speedup / (n4_level / n_level), 3)
+    # per-run efficiency spread for transparency (median sec is headline)
+    eff_spread = sorted(
+        round((ls / hs) / (n4_level / n_level), 3)
+        for ls in lo["runs"] for hs in hi["runs"]
+    )
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH / BASELINE — measured scaling evidence
@@ -98,16 +111,18 @@ Flagship extraction job (parse -> featurize -> score -> CC vote -> spans
 -> byte-exact concat) over the deterministic synthetic corpus
 ({lo['n_pages']} pages, datagen seed 42, read from parquet), identical
 input and code at two parallelism levels — the sandbox stand-in for N vs
-4N executors (BASELINE.md protocol).  Fresh JVM per level; full warm-up
-run excluded; best of 3 measured runs.
+4N executors (BASELINE.md protocol).  Fresh JVM per level; warm-up runs
+until converged (JIT steady state) excluded; MEDIAN of 3 measured runs
+(all runs listed — no cherry-picking).
 
-| level | master | wall sec | docs/sec |
-|---|---|---|---|
-| N  | local[{n_level}]  | {lo['sec']} | {lo['docs_per_sec']} |
-| 4N | local[{n4_level}] | {hi['sec']} | {hi['docs_per_sec']} |
+| level | master | wall sec (median) | all runs | docs/sec |
+|---|---|---|---|---|
+| N  | local[{n_level}]  | {lo['sec']} | {lo['runs']} | {lo['docs_per_sec']} |
+| 4N | local[{n4_level}] | {hi['sec']} | {hi['runs']} | {hi['docs_per_sec']} |
 
-- speedup (T_N / T_4N): **{speedup:.2f}x**
+- speedup (T_N / T_4N, medians): **{speedup:.2f}x**
 - scaling efficiency (speedup / 4): **{efficiency}** (target >= 0.8)
+- efficiency over all run pairs (min..max): {eff_spread[0]} .. {eff_spread[-1]}
 
 Level choice: on this single-socket 32-core box, local[32] saturates the
 shared memory controller, so an 8 -> 32 comparison measures hardware
@@ -124,6 +139,7 @@ executors.  Both pairs are reproducible:
     print(json.dumps({
         "n": lo, "4n": hi, "speedup": round(speedup, 3),
         "scaling_efficiency": efficiency,
+        "efficiency_spread": [eff_spread[0], eff_spread[-1]],
     }))
 
 
