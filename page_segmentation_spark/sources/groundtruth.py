@@ -88,6 +88,161 @@ def parse_annotations(df: DataFrame, xml_col: str = "labels_xml") -> DataFrame:
     return pruned.mapInPandas(kernel, schema=GT_SPAN_SCHEMA)
 
 
+#: PAGE-XML region-element/type collapse (the reference's 19-type map,
+#: lib/pagexml.py:66-129, re-derived from the public PRImA PAGE schema):
+#: element name decides media/boilerplate; TextRegion@type splits main
+#: text from furniture.
+PAGEXML_TEXT_TYPE_CLASS = {
+    "paragraph": CLS_MAIN,
+    "heading": CLS_MAIN,
+    "caption": CLS_MAIN,
+    "drop-capital": CLS_MAIN,
+    "floating": CLS_MAIN,
+    "other": CLS_MAIN,
+    "header": CLS_BOILER,
+    "footer": CLS_BOILER,
+    "page-number": CLS_BOILER,
+    "marginalia": CLS_BOILER,
+    "footnote": CLS_BOILER,
+    "footnote-continued": CLS_BOILER,
+    "endnote": CLS_BOILER,
+    "catch-word": CLS_BOILER,
+    "signature-mark": CLS_BOILER,
+    "credit": CLS_BOILER,
+    "TOC-entry": CLS_BOILER,
+}
+PAGEXML_REGION_CLASS = {
+    "TextRegion": None,  # resolved via @type
+    "ImageRegion": CLS_MEDIA,
+    "GraphicRegion": CLS_MEDIA,
+    "ChartRegion": CLS_MEDIA,
+    "TableRegion": CLS_MEDIA,
+    "MathsRegion": CLS_MEDIA,
+    "SeparatorRegion": CLS_BOILER,
+    "NoiseRegion": CLS_BOILER,
+    "AdvertRegion": CLS_BOILER,
+    "UnknownRegion": CLS_BOILER,
+}
+
+PAGEXML_SCHEMA = (
+    "url string, region_idx int, region_id string, region_kind string, "
+    "region_type string, label int, n_lines long, text string, "
+    "points string, line_start long, line_end long"
+)
+
+
+def _pagexml_ns(root) -> str:
+    """Namespace/version autodetect (reference lib/pagexml.py:44-54
+    analog): the PcGts root carries the versioned PAGE namespace; absent
+    namespaces (stripped fixtures) fall back to ''."""
+    tag = root.tag
+    if tag.startswith("{"):
+        return tag[1: tag.index("}")]
+    return ""
+
+
+def parse_pagexml(df: DataFrame, xml_col: str = "pagexml") -> DataFrame:
+    """S5, real PageXML shape: (url, pagexml) -> one row per region with
+    the collapsed 3-class label, Coords points string, region text
+    (TextEquiv/Unicode, region-level or line-joined), and the 1-D line
+    span [line_start, line_end] from cumulative TextLine counts in
+    reading order — the node-granularity GT this engine rasterizes
+    (each TextLine is one node of a line-based node table).
+
+    Arrow-batched mapInPandas, stdlib ElementTree; malformed documents
+    contribute no rows (never fail a batch)."""
+    pruned = df.select("url", xml_col)
+    cols = ("url", "region_idx", "region_id", "region_kind", "region_type",
+            "label", "n_lines", "text", "points", "line_start", "line_end")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for url, xml in zip(pdf["url"], pdf[xml_col]):
+                if not xml:
+                    continue
+                try:
+                    root = ET.fromstring(xml)
+                except ET.ParseError:
+                    continue
+                ns = _pagexml_ns(root)
+                q = (lambda t: f"{{{ns}}}{t}") if ns else (lambda t: t)
+                if root.tag not in (q("PcGts"), "PcGts"):
+                    continue
+                line_cursor = 0
+                ridx = 0
+                for page in root.iter(q("Page")):
+                    for region in page:
+                        kind = region.tag.rsplit("}", 1)[-1]
+                        if kind not in PAGEXML_REGION_CLASS:
+                            continue
+                        rtype = region.get("type", "") or ""
+                        label = PAGEXML_REGION_CLASS[kind]
+                        if label is None:  # TextRegion: @type decides
+                            label = PAGEXML_TEXT_TYPE_CLASS.get(
+                                rtype, CLS_MAIN
+                            )
+                        coords = region.find(q("Coords"))
+                        points = (
+                            coords.get("points", "") if coords is not None
+                            else ""
+                        )
+                        lines = region.findall(q("TextLine"))
+                        line_texts = []
+                        for ln in lines:
+                            te = ln.find(q("TextEquiv"))
+                            uni = (
+                                te.find(q("Unicode"))
+                                if te is not None else None
+                            )
+                            if uni is not None and uni.text:
+                                line_texts.append(uni.text)
+                        rte = region.find(q("TextEquiv"))
+                        runi = (
+                            rte.find(q("Unicode")) if rte is not None
+                            else None
+                        )
+                        text = (
+                            runi.text if runi is not None and runi.text
+                            else " ".join(line_texts)
+                        )
+                        n_lines = len(lines)
+                        out["url"].append(url)
+                        out["region_idx"].append(ridx)
+                        out["region_id"].append(region.get("id", ""))
+                        out["region_kind"].append(kind)
+                        out["region_type"].append(rtype)
+                        out["label"].append(label)
+                        out["n_lines"].append(n_lines)
+                        out["text"].append(text)
+                        out["points"].append(points)
+                        out["line_start"].append(
+                            line_cursor if n_lines else -1
+                        )
+                        out["line_end"].append(
+                            line_cursor + n_lines - 1 if n_lines else -1
+                        )
+                        line_cursor += n_lines
+                        ridx += 1
+            yield pd.DataFrame(out)
+
+    return pruned.mapInPandas(kernel, schema=PAGEXML_SCHEMA)
+
+
+def pagexml_gt_spans(regions: DataFrame) -> DataFrame:
+    """Adapt parse_pagexml output to the GT span contract consumed by
+    :func:`label_nodes` (line-based node tables: node_idx == line idx)."""
+    return regions.where(F.col("line_start") >= 0).select(
+        "url",
+        F.coalesce(
+            F.nullif(F.col("region_type"), F.lit("")), F.col("region_kind")
+        ).alias("region_type"),
+        "label",
+        F.col("line_start").alias("span_start"),
+        F.col("line_end").alias("span_end"),
+    )
+
+
 def string_to_points(col: Column) -> Column:
     """P12: '"x,y x,y ..."' -> array<struct<x:int, y:int>>
     (reference lib/pagexml.py:161-167)."""
