@@ -1323,3 +1323,85 @@ def skew_two_phase_agg(spark, sf_dir):
         ],
         n_salts=8,
     )
+
+
+# -------------------------------------------------------------- multimodal
+
+def _media_table(spark, sf_dir) -> DataFrame:
+    """Deterministic media table over documents: the text bytes stand in
+    for an opaque binary payload; type + frame count derive from doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    mtype = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return d.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        mtype.alias("media_type"),
+        ((F.col("doc_id") % 7) * 10 + 1).cast("int").alias("n_frames"),
+    )
+
+
+@_q(
+    "mm_media_stats",
+    """
+    WITH media AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS byte_len,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             (doc_id % 7) * 10 + 1 AS n_frames
+      FROM documents
+    ), frames AS (
+      SELECT media_type, byte_len
+      FROM media,
+           unnest(generate_series(0, greatest(n_frames - 1, 0), 10)) AS t(f)
+    )
+    SELECT media_type, count(*) AS n_sampled,
+           CAST(sum(byte_len) AS BIGINT) AS total_bytes
+    FROM frames GROUP BY media_type
+    """,
+)
+def mm_media_stats(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload column + JVM-side
+    metadata (byte_len) + video frame-sampling expansion
+    (sequence+explode), grouped per modality."""
+    from page_segmentation_spark.operators import multimodal as MM
+
+    media = MM.with_media_meta(_media_table(spark, sf_dir))
+    frames = MM.frame_sample_plan(media, every_n=10)
+    return frames.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("byte_len").alias("total_bytes"),
+    )
+
+
+@_q(
+    "mm_feature_extract",
+    f"""
+    SELECT doc_id,
+           (('0x' || substr(md5(text), 1, 2))::BIGINT) AS b0
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def mm_feature_extract(spark, sf_dir):
+    """The Arrow mapInPandas feature-extraction path over binary payloads
+    (deterministic fake kernel = md5 bytes; a real image/audio model slots
+    into the same kernel).  The first feature is checked exactly:
+    feature[0]*256 == first md5 byte of the payload."""
+    from page_segmentation_spark.operators import multimodal as MM
+    from page_segmentation_spark.packaging import ship_package
+
+    ship_package(spark)
+    media = _media_table(spark, sf_dir).where(F.col("doc_id") < 50).select(
+        F.col("doc_id").cast("int").alias("media_idx"),
+        F.lit("all").alias("url"),
+        "payload",
+    )
+    feats = MM.extract_features(media, id_cols=("url", "media_idx"))
+    return feats.select(
+        F.col("media_idx").cast("long").alias("doc_id"),
+        F.round(F.element_at("feature", 1) * 256).cast("bigint").alias("b0"),
+    )
