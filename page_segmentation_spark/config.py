@@ -23,6 +23,12 @@ N_CLASSES = 3
 #: One url must fit one task for the CC/vote/span stages; this bounds it.
 MAX_NODES_PER_DOC = 50_000
 
+#: Heading block tags — used by the trailing-heading span trim (a heading
+#: announces FOLLOWING content; one sitting at the very end of a span has
+#: its body outside the span, i.e. it belongs to the next/boilerplate
+#: section).  Shared by operators/spans.py and oracle.cut_spans (mirror).
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
 #: Target of the per-document normalization (analog of
 #: ``target_line_height``, reference lib/dataset.py:131-137): node lengths
 #: are normalized by the per-doc median foreground block length (A12).

@@ -21,11 +21,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from page_segmentation_spark.config import HEADING_TAGS
 from page_segmentation_spark.functions import scorer_core as sc
 
 
 def _tag_flag(tags: frozenset) -> Column:
     return F.when(F.col("tag").isin(*sorted(tags)), F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+def _col_flag(col: str, values: frozenset) -> Column:
+    return F.when(
+        F.col(col).isin(*sorted(values)), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
 
 
 def with_doc_stats(nodes: DataFrame) -> DataFrame:
@@ -81,8 +88,9 @@ def with_features(nodes: DataFrame) -> DataFrame:
     scorer_core.build_features exactly — one double division per feature)."""
     d = lambda c: c.cast("double")  # noqa: E731
     med1 = F.col("char_med") + F.lit(1.0)
+    cap = F.lit(sc.CHARS_NORM_CAP)
     feats = F.array(
-        d(F.col("n_chars")) / med1,
+        F.least(d(F.col("n_chars")) / med1, cap),
         d(F.col("n_link_chars")) / (d(F.col("n_chars")) + F.lit(1.0)),
         d(F.col("n_punct")) / (d(F.col("n_chars")) + F.lit(1.0)),
         d(F.col("n_stop")) / (d(F.col("n_tokens")) + F.lit(1.0)),
@@ -92,14 +100,17 @@ def with_features(nodes: DataFrame) -> DataFrame:
         _tag_flag(sc.MEDIA_PRIOR_TAGS),
         d(F.col("n_upper")) / (d(F.col("n_alpha")) + F.lit(1.0)),
         d(F.col("n_digits")) / (d(F.col("n_chars")) + F.lit(1.0)),
-        d(F.col("loc_chars")) / (F.lit(5.0) * med1),
+        F.least(d(F.col("loc_chars")) / (F.lit(5.0) * med1), cap),
         d(F.col("loc_link")) / (d(F.col("loc_chars")) + F.lit(1.0)),
-        d(F.col("sec_chars")) / (F.lit(17.0) * med1),
+        F.least(d(F.col("sec_chars")) / (F.lit(17.0) * med1), cap),
         d(F.col("sec_link")) / (d(F.col("sec_chars")) + F.lit(1.0)),
         d(F.col("doc_link")) / (d(F.col("doc_chars")) + F.lit(1.0)),
         d(F.col("node_idx")) / d(F.col("n_nodes")),
         d(F.col("fwd_link")) / (d(F.col("fwd_chars")) + F.lit(1.0)),
         d(F.col("bwd_link")) / (d(F.col("bwd_chars")) + F.lit(1.0)),
+        _tag_flag(HEADING_TAGS),
+        _col_flag("container", sc.MAIN_CONTAINERS),
+        _col_flag("container", sc.BOILER_CONTAINERS),
     )
     return nodes.withColumn("features", feats)
 

@@ -24,7 +24,12 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence
 
-from page_segmentation_spark.config import CLS_BOILER, CLS_MAIN, CLS_MEDIA
+from page_segmentation_spark.config import (
+    CLS_BOILER,
+    CLS_MAIN,
+    CLS_MEDIA,
+    HEADING_TAGS,
+)
 
 # Tag priors (owning block tag of a node).
 TEXT_TAGS = frozenset(
@@ -36,6 +41,13 @@ BOILER_TAGS = frozenset(
 MEDIA_PRIOR_TAGS = frozenset(
     "img video audio picture canvas embed object figure".split()
 )
+
+#: semantic-container priors (the node's nearest sectioning ancestor,
+#: parser "container" field): <p> inside <footer> is invisible from its
+#: own tag — the container carries the strongest real-world boilerplate
+#: signal an extractor has.
+MAIN_CONTAINERS = frozenset({"article", "main"})
+BOILER_CONTAINERS = frozenset({"aside", "nav", "footer", "header"})
 
 #: ordered feature names; the features array column uses exactly this order.
 FEATURE_NAMES: List[str] = [
@@ -57,6 +69,11 @@ FEATURE_NAMES: List[str] = [
     "rel_pos",           # f15: node_idx / n_nodes
     "fwd_link_density",  # f16: sum(link[i+1..i+3]) / (sum(chars[i+1..i+3])+1)
     "bwd_link_density",  # f17: sum(link[i-3..i-1]) / (sum(chars[i-3..i-1])+1)
+    "tag_heading",       # f18: headings announce content — a title over a
+                         #      long article must not lose to its tiny
+                         #      chars_norm (the giant-doc h1-drop failure)
+    "in_main_container",   # f19: nearest sectioning ancestor is article/main
+    "in_boiler_container", # f20: ... is aside/nav/footer/header
 ]
 N_FEATURES = len(FEATURE_NAMES)
 
@@ -66,16 +83,22 @@ N_FEATURES = len(FEATURE_NAMES)
 WEIGHTS: Dict[int, List[float]] = {
     CLS_BOILER: [-0.8, 3.0, -0.5, -0.5, 0.1, -0.5, 2.0, 0.0,
                  0.5, 0.8, -0.1, 2.0, -0.05, 1.0, 0.5, 0.2,
-                 2.0, 1.0],
+                 2.0, 1.0, -0.35, -1.0, 1.25],
     CLS_MAIN: [1.2, -4.0, 1.5, 2.0, -0.1, 1.0, -2.0, -4.0,
                -1.0, -0.8, 0.25, -2.5, 0.15, -1.0, -0.5, -0.2,
-               -2.5, -0.5],
+               -2.5, -0.5, 0.35, 1.0, -1.25],
     CLS_MEDIA: [-2.0, 0.0, 0.0, 0.0, 0.0, -1.0, -1.0, 6.0,
                 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
-                0.0, 0.0],
+                0.0, 0.0, 0.0, 0.0, 0.0],
 }
 BIAS: Dict[int, float] = {CLS_BOILER: 0.5, CLS_MAIN: -0.4, CLS_MEDIA: -1.5}
 CLASS_ORDER = [CLS_BOILER, CLS_MAIN, CLS_MEDIA]
+
+#: cap on the length-ratio features (f0/f10/f12): "longer than typical"
+#: saturates at 3x — on boilerplate-only pages char_med is tiny (median
+#: of nav-link texts) and an unbounded ratio lets one modest footer line
+#: overwhelm every link-density signal.
+CHARS_NORM_CAP = 3.0
 
 LOCAL_RADIUS = 2
 SECTION_RADIUS = 8
@@ -120,7 +143,7 @@ def build_features(
     """
     tag = node["tag"]
     return [
-        node["n_chars"] / (char_med + 1.0),
+        min(node["n_chars"] / (char_med + 1.0), CHARS_NORM_CAP),
         node["n_link_chars"] / (node["n_chars"] + 1.0),
         node["n_punct"] / (node["n_chars"] + 1.0),
         node["n_stop"] / (node["n_tokens"] + 1.0),
@@ -130,14 +153,17 @@ def build_features(
         1.0 if tag in MEDIA_PRIOR_TAGS else 0.0,
         node["n_upper"] / (node["n_alpha"] + 1.0),
         node["n_digits"] / (node["n_chars"] + 1.0),
-        loc_chars / (5.0 * (char_med + 1.0)),
+        min(loc_chars / (5.0 * (char_med + 1.0)), CHARS_NORM_CAP),
         loc_link / (loc_chars + 1.0),
-        sec_chars / (17.0 * (char_med + 1.0)),
+        min(sec_chars / (17.0 * (char_med + 1.0)), CHARS_NORM_CAP),
         sec_link / (sec_chars + 1.0),
         doc_link / (doc_chars + 1.0),
         node["node_idx"] / float(n_nodes),
         fwd_link / (fwd_chars + 1.0),
         bwd_link / (bwd_chars + 1.0),
+        1.0 if tag in HEADING_TAGS else 0.0,
+        1.0 if node["container"] in MAIN_CONTAINERS else 0.0,
+        1.0 if node["container"] in BOILER_CONTAINERS else 0.0,
     ]
 
 

@@ -50,6 +50,13 @@ VOID_TAGS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
 )
 
+# Semantic sectioning ancestors recorded per node ("container" field): the
+# innermost of these on the open-element stack.  'footer'-ness of a <p>
+# is invisible from its own tag — the container carries it.
+SEMANTIC_CONTAINERS = frozenset(
+    "article main aside nav footer header".split()
+)
+
 # Small fixed multilingual stopword set for the stop-ratio feature.
 STOPWORDS = frozenset(
     """the a an and or of to in is are was were it this that for on with as
@@ -146,6 +153,14 @@ class _BlockCollector(HTMLParser):
         self._buf_link: List[str] = []  # parts that are inside <a>
         self._block_tag = "body"
         self._block_depth = 0
+        self._block_container = ""
+
+    def _current_container(self) -> str:
+        """Innermost semantic sectioning ancestor on the open stack."""
+        for t in reversed(self._stack):
+            if t in SEMANTIC_CONTAINERS:
+                return t
+        return ""
 
     # -- node emission -------------------------------------------------
     def _flush(self) -> None:
@@ -167,6 +182,7 @@ class _BlockCollector(HTMLParser):
         rec: Dict[str, Any] = {
             "node_idx": len(self.nodes),
             "tag": tag,
+            "container": self._block_container,
             "depth": depth,
             "text": text,
             "is_fg": len(text) > 0,
@@ -185,12 +201,18 @@ class _BlockCollector(HTMLParser):
         if self._skip_depth == 0:
             if tag in MEDIA_TAGS:
                 self._flush()
+                self._block_container = self._current_container()
                 self._emit(tag, len(self._stack), "", 0)
             elif tag in BLOCK_TAGS:
                 self._flush()
                 if tag not in ("br", "hr"):
                     self._block_tag = tag
                     self._block_depth = len(self._stack)
+                    # the block itself may BE a semantic container
+                    self._block_container = (
+                        tag if tag in SEMANTIC_CONTAINERS
+                        else self._current_container()
+                    )
             elif tag == "a":
                 self._anchor_depth += 1
         if tag not in VOID_TAGS:
@@ -213,6 +235,7 @@ class _BlockCollector(HTMLParser):
             self._flush()
             self._block_tag = "body"
             self._block_depth = max(0, len(self._stack))
+            self._block_container = self._current_container()
 
     def handle_startendtag(self, tag, attrs):
         self.handle_starttag(tag, attrs)
@@ -269,6 +292,7 @@ def parse_html(
 NODE_FIELDS = [
     "node_idx",
     "tag",
+    "container",
     "depth",
     "text",
     "is_fg",

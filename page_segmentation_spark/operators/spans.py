@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from page_segmentation_spark.config import CLS_MAIN, ExtractSettings
+from page_segmentation_spark.config import (
+    CLS_MAIN,
+    HEADING_TAGS,
+    ExtractSettings,
+)
 from page_segmentation_spark.operators.islands import with_islands
 
 
@@ -67,39 +71,70 @@ def with_spans(nodes: DataFrame, settings: ExtractSettings) -> DataFrame:
         ).otherwise(F.col("dil")),
     ).drop("zisl", "z_len", "z_min", "z_max")
 
-    # islands of merged==1 -> candidate spans
+    # islands of merged==1 -> candidate spans, trimmed to raw-main
+    # extents; then the trailing-heading trim: a heading at the very end
+    # of a span announces content that lies OUTSIDE the span (the next /
+    # boilerplate section — e.g. an aside's "Related" header), so the
+    # span ends at its last non-heading main node instead.  A span whose
+    # main nodes are ALL headings has no content at all and is dropped
+    # (span_end stays null -> keep is false).
     df = with_islands(df, ["merged"], out_col="sisl")
     w_s = Window.partitionBy("url", "sisl")
     in_span = F.col("merged") == 1
+    is_heading = F.col("tag").isin(*sorted(HEADING_TAGS))
+    main_idx = F.when(F.col("ind") == 1, F.col("node_idx"))
     df = (
         df.withColumn(
-            "span_main", F.when(in_span, F.sum("ind").over(w_s))
-        )
-        .withColumn(
-            "span_start",
-            F.when(
-                in_span,
-                F.min(F.when(F.col("ind") == 1, F.col("node_idx"))).over(w_s),
-            ),
+            "span_start", F.when(in_span, F.min(main_idx).over(w_s))
         )
         .withColumn(
             "span_end",
             F.when(
                 in_span,
-                F.max(F.when(F.col("ind") == 1, F.col("node_idx"))).over(w_s),
+                F.max(
+                    F.when(
+                        (F.col("ind") == 1) & ~is_heading, F.col("node_idx")
+                    )
+                ).over(w_s),
+            ),
+        )
+        .withColumn(
+            "span_main",
+            F.when(
+                in_span,
+                F.sum(
+                    F.when(
+                        (F.col("ind") == 1)
+                        & (F.col("node_idx") <= F.col("span_end")),
+                        1,
+                    ).otherwise(0)
+                ).over(w_s),
             ),
         )
     )
-    keep = (
+    keep = F.coalesce(
         in_span
         & (F.col("span_main") >= min_main)
         & F.col("span_start").isNotNull()
-        & F.col("node_idx").between(F.col("span_start"), F.col("span_end"))
+        & F.col("span_end").isNotNull()
+        & F.col("node_idx").between(F.col("span_start"), F.col("span_end")),
+        F.lit(False),
     )
     return (
         df.withColumn("in_kept_span", keep)
-        .withColumn("selected", keep & F.col("is_fg"))
+        .withColumn("selected", keep & F.col("is_fg") & _not_pure_link())
         .drop("sisl", "merged", "dil", "ind")
+    )
+
+
+def _not_pure_link():
+    """Extraction guard (mirror: oracle.extract_document): a node inside a
+    span is emitted unless it is BOTH non-main and entirely link text —
+    the gap-merge bridges short interior runs for connectivity, and a
+    bridged fully-link node is an inline ad / related-links block, not
+    content.  Nodes the vote kept as main are always emitted."""
+    return (F.col("ind") == 1) | (
+        F.col("n_link_chars") < F.col("n_chars")
     )
 
 
@@ -148,7 +183,7 @@ def xycut_spans(nodes: DataFrame, settings: ExtractSettings) -> DataFrame:
     keep = in_seg & (F.col("seg_len") > px_threshold) & (F.col("span_main") > 0)
     return (
         df.withColumn("in_kept_span", keep)
-        .withColumn("selected", keep & F.col("is_fg"))
+        .withColumn("selected", keep & F.col("is_fg") & _not_pure_link())
         .drop("gisl", "g_len", "in_kept_gap", "sisl", "seg_len", "ind")
     )
 
@@ -197,7 +232,7 @@ def morphological_spans(nodes: DataFrame, settings: ExtractSettings) -> DataFram
     keep = in_seg & (F.col("span_main") >= F.lit(settings.min_main_nodes))
     return (
         df.withColumn("in_kept_span", keep)
-        .withColumn("selected", keep & F.col("is_fg"))
+        .withColumn("selected", keep & F.col("is_fg") & _not_pure_link())
         .drop("sisl", "m1", "m2", "m3", "ind")
     )
 

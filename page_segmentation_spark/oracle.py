@@ -30,6 +30,7 @@ from typing import Any, Dict, List, Tuple
 
 from page_segmentation_spark.config import (
     CLS_MAIN,
+    HEADING_TAGS,
     ExtractSettings,
     derive_thresholds,
 )
@@ -186,6 +187,14 @@ def cut_spans(
             while j < n and merged[j] == 1:
                 j += 1
             members = [k for k in range(i, j) if ind[k] == 1]
+            # trailing-heading trim (mirror: operators/spans.with_spans):
+            # a heading ending a span announces content OUTSIDE the span;
+            # end at the last non-heading main node instead.  A span whose
+            # main nodes are ALL headings has no content and is dropped.
+            content = [
+                k for k in members if nodes[k]["tag"] not in HEADING_TAGS
+            ]
+            members = [k for k in members if content and k <= content[-1]]
             if len(members) >= min_main and members:
                 spans.append((members[0], members[-1], len(members)))
             i = j
@@ -209,8 +218,15 @@ def extract_document(
     texts: List[str] = []
     for (s, e, _c) in spans:
         for k in range(s, e + 1):
-            if nodes[k]["is_fg"]:
-                texts.append(nodes[k]["text"])
+            nk = nodes[k]
+            # mirror of operators/spans._not_pure_link: a bridged interior
+            # node that is non-main AND entirely link text is an inline
+            # ad / related-links block — not content
+            if nk["is_fg"] and (
+                preds[k] == CLS_MAIN
+                or nk["n_link_chars"] < nk["n_chars"]
+            ):
+                texts.append(nk["text"])
     return {
         "extracted_text": settings.separator.join(texts),
         "spans": spans,

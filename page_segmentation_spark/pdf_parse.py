@@ -206,6 +206,7 @@ def parse_pdf(
                 rec: Dict[str, Any] = {
                     "node_idx": len(nodes),
                     "tag": _tag_for_size(size),
+                    "container": "",  # PDFs have no DOM sectioning
                     "depth": 1,
                     "text": text,
                     "is_fg": True,

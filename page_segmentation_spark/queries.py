@@ -1060,6 +1060,8 @@ def w3_xycut_segments(spark, sf_dir):
         F.lit(True).alias("is_fg"),
         F.lit(30.0).alias("char_med"),
         F.lit("p").alias("tag"),
+        F.lit(10).cast("long").alias("n_chars"),
+        F.lit(0).cast("long").alias("n_link_chars"),
     )
     from page_segmentation_spark.config import CLS_MAIN  # noqa: F401
 

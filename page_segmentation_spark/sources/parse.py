@@ -27,7 +27,8 @@ from page_segmentation_spark.html_parse import NODE_FIELDS
 from page_segmentation_spark.page_parse import parse_page
 
 NODE_SCHEMA = (
-    "url string, node_idx long, tag string, depth int, text string, "
+    "url string, node_idx long, tag string, container string, depth int, "
+    "text string, "
     "is_fg boolean, n_chars long, n_tokens long, n_link_chars long, "
     "n_punct long, n_digits long, n_upper long, n_alpha long, n_stop long"
 )
@@ -36,6 +37,7 @@ ARROW_SCHEMA = pa.schema(
         ("url", pa.string()),
         ("node_idx", pa.int64()),
         ("tag", pa.string()),
+        ("container", pa.string()),
         ("depth", pa.int32()),
         ("text", pa.string()),
         ("is_fg", pa.bool_()),
@@ -54,6 +56,7 @@ _COLS = ["url"] + NODE_FIELDS
 _SENTINEL = {
     "node_idx": -1,
     "tag": "",
+    "container": "",
     "depth": 0,
     "text": "",
     "is_fg": False,

@@ -14,7 +14,9 @@ def _nodes_df(spark, rows):
         [("u1", i, t, fg, p) for (i, t, fg, p) in rows],
         "url string, node_idx long, tag string, is_fg boolean, pred_raw int",
     )
-    return df
+    return df.withColumn("n_chars", F.lit(10).cast("long")).withColumn(
+        "n_link_chars", F.lit(0).cast("long")
+    )
 
 
 def test_islands_basic(spark):

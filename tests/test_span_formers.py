@@ -17,6 +17,8 @@ def _df(spark, preds, char_med=50.0):
         )
         .withColumn("char_med", F.lit(char_med))
         .withColumn("n_nodes", F.lit(len(preds)).cast("long"))
+        .withColumn("n_chars", F.lit(10).cast("long"))
+        .withColumn("n_link_chars", F.lit(0).cast("long"))
     )
 
 
