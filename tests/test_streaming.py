@@ -47,6 +47,60 @@ def test_stream_extract_incremental_new_files(spark, tmp_path):
     assert spark.read.parquet(out).count() > 10
 
 
+def test_first_seen_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: repeated content across micro-batches
+    is suppressed by keyed state — each normalized content emits once."""
+    from page_segmentation_spark.packaging import ship_package
+    from page_segmentation_spark.sources.pages_schema import PAGES_DDL
+    from page_segmentation_spark.streaming.dedup_stream import (
+        first_seen_stream,
+    )
+
+    ship_package(spark)
+    src = str(tmp_path / "pages_in")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "first_seen_out")
+
+    def run_cycle():
+        stream = (
+            spark.readStream.schema(PAGES_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+        def write_batch(df, _bid):
+            df.write.mode("append").parquet(sink)
+
+        q = (
+            first_seen_stream(stream)
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # cycle 1: docs 2..5 (0/1 excluded), each distinct content
+    pages_df(spark, 6, partitions=1).where("url like '%page/_'").where(
+        "url not like '%page/0' and url not like '%page/1'"
+    ).coalesce(1).write.parquet(src)
+    run_cycle()
+    assert spark.read.parquet(sink).count() == 4
+
+    # cycle 2: docs 2,3,4 re-delivered (same content) + fresh docs 8,9 —
+    # state suppresses the repeats, only the new contents emit
+    pages_df(spark, 10, partitions=1).where(
+        "url like '%page/2' or url like '%page/3' or url like '%page/4' "
+        "or url like '%page/8' or url like '%page/9'"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_cycle()
+    rows = spark.read.parquet(sink).collect()
+    hashes = [r["content_hash"] for r in rows]
+    assert len(hashes) == len(set(hashes))  # no re-emission ever
+    assert len(hashes) == 6  # 4 originals + docs 8 and 9
+
+
 def test_crawl_stats_stream_plan(spark, tmp_path):
     src = str(tmp_path / "pages_in")
     pages_df(spark, 8, partitions=1).write.parquet(src)

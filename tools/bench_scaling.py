@@ -39,18 +39,13 @@ spark = get_spark(app=f"scaling-{{cpus}}", master=f"local[{{cpus}}]",
 spark.sparkContext.setLogLevel("ERROR")
 pages = spark.read.parquet(corpus)
 n = pages.count()
-# Warm up UNTIL CONVERGED (not a single pass): a fresh JVM speeds up ~3x
-# over the first few iterations as C2 JIT kicks in.  The scaling
-# criterion is steady-state THROUGHPUT — at 10^12 rows startup cost is
-# amortized to nothing.
-prev = None
-for _ in range(5):
-    t0 = time.perf_counter()
+# Fixed 3-run warm-up (a fresh JVM speeds up ~3x over the first few
+# iterations as C2 JIT kicks in; sporadic shared-VM spikes make a
+# convergence heuristic unreliable), then median of 3 measured runs.
+# The scaling criterion is steady-state THROUGHPUT — at 10^12 rows
+# startup cost is amortized to nothing.
+for _ in range(3):
     extract(pages).write.format("noop").mode("overwrite").save()
-    dt = time.perf_counter() - t0
-    if prev is not None and dt > prev * 0.9:
-        break
-    prev = dt
 runs = []
 for _ in range(3):
     t0 = time.perf_counter()
