@@ -82,19 +82,26 @@ def evaluate(
     pred_col: str = "pred",
     label_col: str = "gt_label",
 ) -> DataFrame:
-    """Trainer.eval analog: accuracy + per-main-class P/R/F1 as one row."""
-    acc = M.total_accuracy(
-        labeled_nodes, pred=pred_col, label=label_col
-    ).first()["accuracy"]
-    f1 = M.f1_measures(
-        labeled_nodes, cls=1, pred=pred_col, label=label_col
-    ).first()
-    spark = labeled_nodes.sparkSession
-    return spark.createDataFrame(
-        [(float(acc), f1["tp"], f1["fp"], f1["fn"],
-          float(f1["precision"]), float(f1["recall"]), float(f1["f1"]))],
-        "accuracy double, tp long, fp long, fn long, "
-        "precision double, recall double, f1 double",
+    """Trainer.eval analog: accuracy + main-class P/R/F1 as one row.
+
+    Fully lazy — ONE aggregation pass, no driver actions (the previous
+    version collected two intermediate firsts)."""
+    p, lab = F.col(pred_col), F.col(label_col)
+    agg = labeled_nodes.agg(
+        F.avg(F.when(p == lab, 1.0).otherwise(0.0)).alias("accuracy"),
+        F.sum(F.when((p == 1) & (lab == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((p == 1) & (lab != 1), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((p != 1) & (lab == 1), 1).otherwise(0)).alias("fn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+    rec = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+    f1 = F.when(
+        prec + rec > 0, 2.0 * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "accuracy", "tp", "fp", "fn",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
     )
 
 

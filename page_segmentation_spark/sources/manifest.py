@@ -59,7 +59,13 @@ def align_sources(
     join); verify=False asserts equal counts like the reference's zip
     (lib/dataset.py:105-111)."""
     if not verify:
-        counts = {df.count() for df in keyed}
+        # one driver action for all sources (union of per-source counts),
+        # not one count() job per source
+        cnt_dfs = [df.agg(F.count(F.lit(1)).alias("n")) for df in keyed]
+        allc = cnt_dfs[0]
+        for c in cnt_dfs[1:]:
+            allc = allc.unionByName(c)
+        counts = {r["n"] for r in allc.collect()}
         if len(counts) > 1:
             raise ValueError(f"unaligned source counts: {sorted(counts)}")
     out = keyed[0]

@@ -138,3 +138,41 @@ def test_score_nodes_total(html):
     assert len(preds) == len(nodes)
     assert all(p in (0, 1, 2) for p in preds)
     assert med >= 0.0
+
+
+# -- PDF parser properties --------------------------------------------------
+
+from page_segmentation_spark.datagen import build_pdf  # noqa: E402
+from page_segmentation_spark.pdf_parse import parse_pdf  # noqa: E402
+
+pdf_texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=0x20, max_codepoint=0xFF),
+        min_size=1,
+        max_size=60,
+    ).filter(lambda s: s.strip()),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(pdf_texts, st.booleans())
+def test_pdf_roundtrip(texts, compress):
+    """Any latin-1 text (incl. parens/backslashes) written as PDF blocks
+    must parse back whitespace-normalized, in order, raw or FlateDecode."""
+    blocks = [(11, t) for t in texts]
+    nodes = parse_pdf(build_pdf(blocks, compress=compress))
+    expected = [" ".join(t.split()) for t in texts if " ".join(t.split())]
+    assert [n["text"] for n in nodes] == expected
+    for i, n in enumerate(nodes):
+        assert n["node_idx"] == i and n["is_fg"]
+        assert n["n_chars"] == len(n["text"])
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=400))
+def test_pdf_parser_never_crashes(data):
+    nodes = parse_pdf(b"%PDF-1.4\n" + data)
+    for n in nodes:
+        assert n["n_chars"] == len(n["text"])

@@ -114,3 +114,28 @@ def test_apply_weights_roundtrip(spark):
     with apply_weights({1: [9.9] * sc.N_FEATURES}, {1: 1.0}):
         assert sc.WEIGHTS[1][0] == 9.9
     assert sc.WEIGHTS[1][0] == orig
+
+
+def test_train_then_ship_byte_identity(spark):
+    """The full train-then-ship loop: fit on labels, swap the trained
+    weights into the scorer, and the Spark pipeline must STILL be
+    byte-identical to the oracle — the mirror holds for ANY weights
+    (both sides read scorer_core.WEIGHTS; Spark embeds them as plan
+    literals, the oracle folds them in Python)."""
+    from page_segmentation_spark.datagen import make_page, pages_df
+    from page_segmentation_spark.oracle import extract_document
+    from page_segmentation_spark.plans.extract import classified_nodes, extract
+    from page_segmentation_spark.plans.train import apply_weights, train_scorer
+
+    pages = pages_df(spark, 20, partitions=2).cache()
+    nodes = classified_nodes(pages).where("node_idx >= 0")
+    labeled = nodes.withColumn("gt_label", F.col("pred"))
+    weights, biases = train_scorer(labeled, max_iter=25)
+
+    with apply_weights(weights, biases):
+        got = {r["url"]: r["extracted_text"] for r in extract(pages).collect()}
+        want = {}
+        for i in range(20):
+            p = make_page(i)
+            want[p["url"]] = extract_document(p["html"])["extracted_text"]
+    assert got == want
