@@ -1,0 +1,83 @@
+"""Physical-plan audits (scale discipline, SURVEY §6): column pruning
+reaches the scan, filters push down to parquet, small dims broadcast,
+pair blocking never degrades to nested-loop/cartesian, top-k plans as
+TakeOrderedAndProject, and the scorer stays inside whole-stage codegen.
+
+These assert the PLAN, not timings — the properties that survive a 100x
+scale-up."""
+
+import pytest
+
+from page_segmentation_spark.datagen import pages_df
+from page_segmentation_spark.plans.extract import extract
+from page_segmentation_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_scan_pruned_to_url_html(spark, tmp_path):
+    """Parse needs (url, html) only; the parquet scan must not read the
+    other three input columns (ReadSchema pruning)."""
+    src = str(tmp_path / "pages")
+    pages_df(spark, 8, partitions=1).write.parquet(src)
+    plan = _plan(extract(spark.read.parquet(src)))
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, plan
+    for ln in scan_lines:
+        assert "url:string" in ln and "html:binary" in ln
+        assert "warc_ts" not in ln and "lang" not in ln
+        assert "text:string" not in ln
+
+
+def test_catalog_filter_pushed_to_parquet(spark):
+    """doc_id < 60 must reach the scan as a pushed parquet filter."""
+    plan = _plan(QUERIES["dedup_simhash"](spark, SF))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    assert any("LessThan(doc_id" in ln for ln in pushed), pushed
+
+
+def test_dim_joins_broadcast(spark):
+    """Triple-align join: both dimension sides broadcast, never shuffled."""
+    plan = _plan(QUERIES["s1_triple_align"](spark, SF))
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_minhash_lsh", "dedup_simhash_pairs", "dedup_lsh_verified",
+     "sim_lsh_neardup"],
+)
+def test_pair_blocking_never_nested_loop(spark, name):
+    """Every near-dup pair stage must plan as equi-joins on its blocking
+    key — a nested-loop or cartesian here is quadratic at 10^12 docs."""
+    plan = _plan(QUERIES[name](spark, SF))
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_topk_is_take_ordered(spark):
+    """Brute-force cosine top-k must not global-sort: TakeOrderedAndProject
+    keeps k rows per partition and merges on the driver."""
+    plan = _plan(QUERIES["sim_cosine_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_scorer_inside_wholestage_codegen(spark, tmp_path):
+    """The classifier fold is Catalyst expressions — it must appear inside
+    a WholeStageCodegen span, with zero Python eval operators."""
+    src = str(tmp_path / "pages")
+    pages_df(spark, 8, partitions=1).write.parquet(src)
+    df = extract(spark.read.parquet(src))
+    df.collect()  # AQE shows codegen spans only in the final plan
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark whole-stage-codegen spans in the compact form
+    assert "*(" in plan
+    assert "BatchEvalPython" not in plan
