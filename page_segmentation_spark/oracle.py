@@ -98,13 +98,14 @@ def cc_majority_vote(
     nodes: List[Dict[str, Any]], preds: List[int]
 ) -> List[int]:
     """Stage 5: connected components = maximal runs of consecutive fg
-    nodes sharing the same tag (the 1-D analog of a glyph/blob-scale
-    binary component — structurally homogeneous, smaller than a region);
-    every member gets the run's most frequent class, ties to the lowest
-    class id (np.argmax(bins[1:]) first-max,
-    reference lib/postprocess.py:19-24).  Non-fg nodes keep their raw
-    prediction (only binary-fg pixels belong to components in the
-    reference)."""
+    nodes sharing the same (tag, container) (the 1-D analog of a
+    glyph/blob-scale binary component — structurally homogeneous, smaller
+    than a region; a footer paragraph is not the same component as an
+    adjacent article paragraph); every member gets the run's most
+    frequent class, ties to the lowest class id (np.argmax(bins[1:])
+    first-max, reference lib/postprocess.py:19-24).  Non-fg nodes keep
+    their raw prediction (only binary-fg pixels belong to components in
+    the reference)."""
     voted = list(preds)
     i = 0
     n = len(nodes)
@@ -113,7 +114,12 @@ def cc_majority_vote(
             i += 1
             continue
         j = i
-        while j < n and nodes[j]["is_fg"] and nodes[j]["tag"] == nodes[i]["tag"]:
+        while (
+            j < n
+            and nodes[j]["is_fg"]
+            and nodes[j]["tag"] == nodes[i]["tag"]
+            and nodes[j]["container"] == nodes[i]["container"]
+        ):
             j += 1
         counts: Dict[int, int] = {}
         for k in range(i, j):

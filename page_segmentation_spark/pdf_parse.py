@@ -186,33 +186,63 @@ def _url_link_chars(text: str) -> int:
     )
 
 
+#: furniture threshold: a block whose font is below this fraction of the
+#: body size is layout furniture (footnote / running footer — footnotes
+#: are conventionally ~0.8x body).
+FURNITURE_RATIO = 0.85
+
+
+def _body_size(blocks: List[tuple]) -> float:
+    """Char-weighted median font size — the dominant body size.  Robust
+    to a long footer or a big title (mode-by-chars is not)."""
+    total = sum(len(t) for _s, t in blocks)
+    if total == 0:
+        return 0.0
+    cum = 0
+    for s, t in sorted(blocks, key=lambda b: b[0]):
+        cum += len(t)
+        if cum * 2 >= total:
+            return s
+    return blocks[-1][0]
+
+
 def parse_pdf(
     data: bytes | bytearray, max_nodes: int = 50_000
 ) -> List[Dict[str, Any]]:
     """Parse one PDF byte stream into ordered node records with the SAME
     fields as :func:`page_segmentation_spark.html_parse.parse_html`
-    (NODE_FIELDS contract)."""
+    (NODE_FIELDS contract).
+
+    PDFs have no DOM sectioning, so the ``container`` field carries the
+    layout-derived furniture signal instead: blocks rendered far below
+    the document's body font size (char-weighted median) are footnote /
+    running-footer furniture and get container='footer' — the same
+    boilerplate prior a <footer> ancestor gives an HTML node."""
     nodes: List[Dict[str, Any]] = []
     try:
         data = bytes(data)
+        blocks: List[tuple] = []
         for stream in content_streams(data):
             for m in _BT_RE.finditer(stream):
-                if len(nodes) >= max_nodes:
-                    return nodes
                 raw, size = _segment_text(m.group(1))
                 text = " ".join(raw.split())
-                if not text:
-                    continue
-                rec: Dict[str, Any] = {
-                    "node_idx": len(nodes),
-                    "tag": _tag_for_size(size),
-                    "container": "",  # PDFs have no DOM sectioning
-                    "depth": 1,
-                    "text": text,
-                    "is_fg": True,
-                }
-                rec.update(text_stats(text, _url_link_chars(text)))
-                nodes.append(rec)
+                if text:
+                    blocks.append((size, text))
+        body = _body_size(blocks)
+        for size, text in blocks:
+            if len(nodes) >= max_nodes:
+                return nodes
+            furniture = body > 0.0 and size < FURNITURE_RATIO * body
+            rec: Dict[str, Any] = {
+                "node_idx": len(nodes),
+                "tag": _tag_for_size(size),
+                "container": "footer" if furniture else "",
+                "depth": 1,
+                "text": text,
+                "is_fg": True,
+            }
+            rec.update(text_stats(text, _url_link_chars(text)))
+            nodes.append(rec)
     except Exception:
         # malformed PDF: keep whatever was parsed (never fail a batch)
         pass

@@ -19,6 +19,7 @@ def _node(idx, tag="p", is_fg=True, n_chars=10):
     return {
         "node_idx": idx,
         "tag": tag,
+        "container": "",
         "is_fg": is_fg,
         "n_chars": n_chars,
         "n_tokens": 2,

@@ -86,3 +86,26 @@ def test_mixed_corpus_byte_identity(spark):
             n_pdf += 1
             assert exp["n_nodes"] > 0  # PDFs really parsed
     assert n_pdf == 4
+
+
+def test_pdf_furniture_by_relative_font_size():
+    """Blocks far below the char-weighted median body size are layout
+    furniture (container='footer'); body and headings are not."""
+    pdf = build_pdf([
+        (24, "Big Title Here"),
+        (11, "body paragraph one with a reasonable amount of text"),
+        (11, "body paragraph two with a reasonable amount of text"),
+        (9, "tiny legal footer line www.example.test"),
+    ])
+    nodes = parse_pdf(pdf)
+    assert [n["container"] for n in nodes] == ["", "", "", "footer"]
+
+
+def test_pdf_footer_not_voted_into_body_run():
+    """A furniture block must not be flipped to main by the adjacent body
+    paragraphs' majority vote (component runs split on container) and
+    must stay out of the extraction."""
+    p = make_pdf_page(1)
+    r = extract_document(p["html"])
+    assert "example.test" not in r["extracted_text"]
+    assert p["text"].split(" ")[0] in r["extracted_text"]

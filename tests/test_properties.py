@@ -70,7 +70,7 @@ def test_text_stats_bounds(text, link):
 def _mk_nodes(preds, tags, fgs):
     return [
         {
-            "node_idx": i, "tag": tags[i], "is_fg": fgs[i],
+            "node_idx": i, "tag": tags[i], "container": "", "is_fg": fgs[i],
             "n_chars": 10, "n_tokens": 2, "n_link_chars": 0, "n_punct": 0,
             "n_digits": 0, "n_upper": 0, "n_alpha": 10, "n_stop": 0,
             "depth": 1, "text": f"t{i}",
