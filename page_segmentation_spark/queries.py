@@ -792,6 +792,42 @@ def sim_cosine_topk(spark, sf_dir):
     return S.brute_force_topk(emb, list(qrow["embedding"]), k=10)
 
 
+@_q(
+    "sim_ivf_topk",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS list_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < 4
+    ), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.list_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC,
+                        c.list_id ASC) AS rn
+      FROM embeddings e, cents c
+    ), a AS (SELECT vec_id, embedding, list_id FROM assign WHERE rn = 1),
+    probe AS (
+      SELECT list_id FROM cents, q
+      ORDER BY {_cos_sql('cvec', 'qv')} DESC, list_id ASC LIMIT 2
+    )
+    SELECT a.vec_id, round({_cos_sql('a.embedding', 'q.qv')}, 6) AS cos_sim
+    FROM a, probe, q WHERE a.list_id = probe.list_id
+    ORDER BY {_cos_sql('a.embedding', 'q.qv')} DESC, a.vec_id
+    LIMIT 10
+    """,
+)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF ANN: inverted-file coarse quantization (4 lists, probe 2) +
+    exact cosine top-k within the probed lists — the index-shaped scale
+    path next to brute force and LSH buckets."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
+    return S.ivf_topk(
+        emb, list(qrow["embedding"]), k=10, n_centroids=4, n_probe=2
+    )
+
+
 def _lsh_bucket_sql(vec: str, n_planes: int = 4, dim: int = 64) -> str:
     planes = S.hyperplane_signs(n_planes, dim)
     parts = []

@@ -196,6 +196,18 @@ def test_lsh_bucket_topk_recall(spark):
     assert approx[0] == exact[0]  # nearest vector shares the query bucket
 
 
+def test_ivf_topk_probes_nearest_lists(spark):
+    """IVF: probing the single nearest list finds the exact nearest
+    vector; probing all lists recovers the full brute-force ranking."""
+    q = [1.0, 0.0, 0.0, 0.0]
+    exact = [r["vec_id"] for r in S.brute_force_topk(_emb(spark), q, k=5).collect()]
+    one = S.ivf_topk(_emb(spark), q, k=1, n_centroids=2, n_probe=1).collect()
+    assert one[0]["vec_id"] == exact[0]
+    both = [r["vec_id"] for r in
+            S.ivf_topk(_emb(spark), q, k=5, n_centroids=2, n_probe=2).collect()]
+    assert both == exact
+
+
 def test_embedding_neardup_pairs(spark):
     pairs = {
         (r["id_a"], r["id_b"])
