@@ -109,3 +109,16 @@ def test_pdf_footer_not_voted_into_body_run():
     r = extract_document(p["html"])
     assert "example.test" not in r["extracted_text"]
     assert p["text"].split(" ")[0] in r["extracted_text"]
+
+
+def test_pdf_tj_arrays_and_multiple_streams():
+    """TJ show arrays (kerning numbers between literals) concatenate their
+    string parts; multiple content streams parse in byte order."""
+    c1 = b"BT /F1 11 Tf 72 700 Td [(Hel) -20 (lo ) 15 (world)] TJ ET"
+    c2 = b"BT /F1 11 Tf 72 680 Td (second stream) Tj ET"
+    pdf = b"%PDF-1.4\n"
+    for c in (c1, c2):
+        pdf += (b"9 0 obj\n<< /Length " + str(len(c)).encode()
+                + b" >>\nstream\n" + c + b"\nendstream\nendobj\n")
+    nodes = parse_pdf(pdf)
+    assert [n["text"] for n in nodes] == ["Hello world", "second stream"]
