@@ -114,16 +114,33 @@ def _decode_hex(data: bytes, i: int) -> tuple[str, int]:
         return "", j + 1
 
 
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+
+
 def content_streams(data: bytes) -> List[bytes]:
     """All decoded stream payloads in byte order; FlateDecode streams are
-    zlib-inflated, undecodable streams are skipped."""
+    zlib-inflated, undecodable streams are skipped.
+
+    A direct ``/Length`` slices the payload exactly — trimming trailing
+    newlines heuristically corrupts compressed payloads whose last bytes
+    happen to be 0x0a/0x0d.  Indirect lengths (``6 0 R``) fall back to
+    the endstream scan."""
     out: List[bytes] = []
     for m in _STREAM_RE.finditer(data):
         start = m.end()
-        end = data.find(b"endstream", start)
-        if end < 0:
-            continue
-        payload = data[start:end].rstrip(b"\r\n")
+        mlen = _LENGTH_RE.search(m.group(1))
+        payload = None
+        if mlen:
+            ln = int(mlen.group(1))
+            if data[start + ln: start + ln + 16].lstrip(b"\r\n ").startswith(
+                b"endstream"
+            ):
+                payload = data[start: start + ln]
+        if payload is None:
+            end = data.find(b"endstream", start)
+            if end < 0:
+                continue
+            payload = data[start:end].rstrip(b"\r\n")
         if b"/FlateDecode" in m.group(1):
             try:
                 payload = zlib.decompress(payload)
