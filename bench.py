@@ -101,6 +101,13 @@ def main() -> None:
     materialize(extract(pages_from_documents(spark, SF_DIR)))
     timings["extract_testdata"] = round(time.perf_counter() - t0, 3)
 
+    # q2b: the same pipeline over PDF byte streams (format dispatch path)
+    from page_segmentation_spark.queries import pdf_pages_from_documents
+
+    t0 = time.perf_counter()
+    materialize(extract(pdf_pages_from_documents(spark, SF_DIR)))
+    timings["extract_pdf"] = round(time.perf_counter() - t0, 3)
+
     # q3-q6: heavy operator queries from the catalog
     for name in (
         "dedup_minhash_lsh",
