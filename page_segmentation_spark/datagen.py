@@ -220,6 +220,141 @@ def make_pdf_page(doc_id: int, seed: int = 42) -> Dict[str, object]:
     }
 
 
+# ----------------------------------------------------------- image fixtures
+#
+# Deterministic PNG/BMP payloads with a CLOSED-FORM pixel function, the
+# image twin of build_pdf: sample value at (x, y, channel c) of doc d is
+#
+#     v(d, x, y, c) = (7x + 13y + 31d + 17c) mod 256
+#
+# so per-image statistics (mean, fg ratio) have exact SQL closed forms and
+# the REAL decode kernel (operators/multimodal.py) can sit under the
+# driver's DuckDB gate.  PNG rows are filtered with a doc-dependent filter
+# type so all five unfilter paths (None/Sub/Up/Average/Paeth) are
+# exercised by the gate, not just tests.
+
+
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(payload).to_bytes(4, "big")
+        + typ
+        + payload
+        + zlib.crc32(typ + payload).to_bytes(4, "big")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def build_png(width: int, height: int, channels: int, pixval,
+              filter_type: int = 0) -> bytes:
+    """Valid 8-bit PNG (gray / RGB / RGBA) with every scanline filtered by
+    ``filter_type`` (0-4).  ``pixval(x, y, c) -> 0..255``."""
+    import struct
+    import zlib
+
+    ctype = {1: 0, 3: 2, 4: 6}[channels]
+    bpp = channels
+    stride = width * channels
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        line = bytearray(
+            pixval(x, y, c) & 0xFF
+            for x in range(width)
+            for c in range(channels)
+        )
+        filt = bytearray(stride)
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            cc = prev[i - bpp] if i >= bpp else 0
+            if filter_type == 0:
+                filt[i] = line[i]
+            elif filter_type == 1:
+                filt[i] = (line[i] - a) & 0xFF
+            elif filter_type == 2:
+                filt[i] = (line[i] - b) & 0xFF
+            elif filter_type == 3:
+                filt[i] = (line[i] - ((a + b) >> 1)) & 0xFF
+            else:
+                filt[i] = (line[i] - _paeth(a, b, cc)) & 0xFF
+        raw += bytes([filter_type]) + filt
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def build_bmp(width: int, height: int, pixval) -> bytes:
+    """Valid uncompressed 24-bit bottom-up BMP with 4-byte row padding.
+    ``pixval(x, y, c)`` with c in (0=R, 1=G, 2=B), y counted top-down."""
+    row_bytes = (width * 3 + 3) & ~3
+    pix = bytearray()
+    for y in range(height - 1, -1, -1):  # disk order is bottom-up
+        row = bytearray()
+        for x in range(width):
+            row += bytes(
+                [pixval(x, y, 2) & 0xFF, pixval(x, y, 1) & 0xFF,
+                 pixval(x, y, 0) & 0xFF]
+            )  # BGR on disk
+        row += b"\x00" * (row_bytes - len(row))
+        pix += row
+    size = 54 + len(pix)
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pix).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return bytes(header + pix)
+
+
+def media_dims(doc_id: int) -> tuple:
+    """(width, height, channels) closed form shared with the SQL oracle."""
+    w = 4 + (doc_id % 5) * 2
+    h = 4 + (doc_id % 3) * 2
+    ch = 1 if doc_id % 3 == 0 else 3
+    return w, h, ch
+
+
+def make_media_payload(doc_id: int) -> bytes:
+    """One deterministic image per doc_id: gray PNG (doc_id%3==0, filter
+    type doc_id%5), RGB PNG (doc_id%3==1, filter (doc_id+2)%5), or 24-bit
+    BMP (doc_id%3==2) — all with the closed-form pixel function."""
+    w, h, ch = media_dims(doc_id)
+
+    def pixval(x: int, y: int, c: int) -> int:
+        return (7 * x + 13 * y + 31 * doc_id + 17 * c) % 256
+
+    if doc_id % 3 == 2:
+        return build_bmp(w, h, pixval)
+    return build_png(
+        w, h, ch, pixval,
+        filter_type=(doc_id % 5) if ch == 1 else ((doc_id + 2) % 5),
+    )
+
+
 def mixed_pages_df(spark, n: int, seed: int = 42, partitions: int = 8,
                    pdf_every: int = 4):
     """Mixed HTML + PDF corpus: every ``pdf_every``-th page is a PDF byte

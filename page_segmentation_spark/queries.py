@@ -1505,28 +1505,68 @@ def mm_media_stats(spark, sf_dir):
 
 @_q(
     "mm_feature_extract",
-    f"""
+    """
+    WITH m AS (
+      SELECT doc_id,
+             4 + CAST(doc_id % 5 AS INT) * 2 AS w,
+             4 + CAST(doc_id % 3 AS INT) * 2 AS h,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS ch
+      FROM documents WHERE doc_id < 60
+    ), px AS (
+      SELECT doc_id, w, h, ch, xs.x AS x, ys.y AS y, cs.c AS c,
+             (7 * xs.x + 13 * ys.y + 31 * doc_id + 17 * cs.c) % 256 AS v
+      FROM m,
+           unnest(generate_series(0, w - 1)) AS xs(x),
+           unnest(generate_series(0, h - 1)) AS ys(y),
+           unnest(generate_series(0, ch - 1)) AS cs(c)
+    )
     SELECT doc_id,
-           (('0x' || substr(md5(text), 1, 2))::BIGINT) AS b0
-    FROM documents WHERE doc_id < 50
+           CAST(max(w) AS INT) AS width,
+           CAST(max(h) AS INT) AS height,
+           CAST(max(ch) AS INT) AS channels,
+           CAST(sum(v) AS DOUBLE) / count(*) AS px_mean,
+           CAST(sum(CASE WHEN c = 0 AND v < 128 THEN 1 ELSE 0 END) AS DOUBLE)
+             / (max(w) * max(h)) AS fg_ratio
+    FROM px GROUP BY doc_id
     """,
 )
 def mm_feature_extract(spark, sf_dir):
-    """The Arrow mapInPandas feature-extraction path over binary payloads
-    (deterministic fake kernel = md5 bytes; a real image/audio model slots
-    into the same kernel).  The first feature is checked exactly:
-    feature[0]*256 == first md5 byte of the payload."""
+    """REAL image decode under the driver gate: deterministic PNG/BMP
+    payloads (closed-form pixel function, datagen.make_media_payload —
+    gray/RGB PNG across all five scanline filter types plus 24-bit BMP)
+    are decoded by the stdlib kernel (operators/multimodal.decode_image)
+    inside Arrow mapInPandas; the oracle recomputes width/height/channels/
+    px_mean/fg_ratio from the pixel closed form, so a wrong unfilter or
+    BGR swap fails the hash.  The analog of the reference's real image
+    byte decode in its loader (reference lib/dataset.py:160-191)."""
+    import pandas as pd
+
+    from page_segmentation_spark.datagen import make_media_payload
     from page_segmentation_spark.operators import multimodal as MM
     from page_segmentation_spark.packaging import ship_package
 
     ship_package(spark)
-    media = _media_table(spark, sf_dir).where(F.col("doc_id") < 50).select(
-        F.col("doc_id").cast("int").alias("media_idx"),
-        F.lit("all").alias("url"),
-        "payload",
+    ids = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select(
+        F.col("doc_id").cast("int").alias("media_idx")
     )
-    feats = MM.extract_features(media, id_cols=("url", "media_idx"))
+
+    def synth(batches):
+        # fixture synthesis (encode side); the operator under test is the
+        # decode kernel in extract_features
+        for pdf in batches:
+            out = pdf[["media_idx"]].copy()
+            out["payload"] = [
+                make_media_payload(int(i)) for i in pdf["media_idx"]
+            ]
+            yield out
+
+    media = ids.mapInPandas(synth, schema="media_idx int, payload binary")
+    feats = MM.extract_features(media, id_cols=("media_idx",))
     return feats.select(
         F.col("media_idx").cast("long").alias("doc_id"),
-        F.round(F.element_at("feature", 1) * 256).cast("bigint").alias("b0"),
+        "width",
+        "height",
+        "channels",
+        "px_mean",
+        "fg_ratio",
     )

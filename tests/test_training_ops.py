@@ -256,20 +256,92 @@ def test_fingerprint_normalization(spark):
 
 # --------------------------------------------------------------- multimodal
 
+def _pixval(x, y, c):
+    return (7 * x + 13 * y + 17 * c) % 256
+
+
+def test_png_roundtrip_all_filters_and_colortypes():
+    from page_segmentation_spark.datagen import build_png
+
+    for channels in (1, 3, 4):
+        for ftype in range(5):
+            png = build_png(6, 5, channels, _pixval, filter_type=ftype)
+            w, h, ch, samples = MM.decode_png(png)
+            assert (w, h, ch) == (6, 5, channels)
+            expected = bytes(
+                _pixval(x, y, c)
+                for y in range(5)
+                for x in range(6)
+                for c in range(channels)
+            )
+            assert samples == expected, f"filter={ftype} ch={channels}"
+
+
+def test_bmp_roundtrip_with_row_padding():
+    from page_segmentation_spark.datagen import build_bmp
+
+    # width 5 -> 15 pixel bytes/row -> 1 pad byte (exercises stride math)
+    bmp = build_bmp(5, 4, _pixval)
+    w, h, ch, samples = MM.decode_bmp(bmp)
+    assert (w, h, ch) == (5, 4, 3)
+    expected = bytes(
+        _pixval(x, y, c) for y in range(4) for x in range(5) for c in range(3)
+    )
+    assert samples == expected
+
+
+def test_image_features_closed_form():
+    from page_segmentation_spark.datagen import make_media_payload, media_dims
+
+    for doc_id in range(12):  # covers all (filter, colortype, bmp) combos
+        w, h, ch = media_dims(doc_id)
+        feats = MM.image_features(make_media_payload(doc_id))
+        vals = [
+            (7 * x + 13 * y + 31 * doc_id + 17 * c) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(ch)
+        ]
+        fg = sum(
+            1
+            for y in range(h)
+            for x in range(w)
+            if (7 * x + 13 * y + 31 * doc_id) % 256 < MM.FG_THRESHOLD
+        )
+        assert feats == (w, h, ch, sum(vals) / len(vals), fg / (w * h))
+
+
+def test_image_features_rejects_garbage():
+    assert MM.image_features(None) is None
+    assert MM.image_features(b"") is None
+    assert MM.image_features(b"JFIF not supported") is None
+    assert MM.image_features(b"\x89PNG\r\n\x1a\x08truncated") is None
+    assert MM.image_features(b"BM short") is None
+
+
 def test_multimodal_feature_plumbing(spark):
-    rows = [("u1", 0, b"\x89PNG fake"), ("u1", 1, None), ("u2", 0, b"JFIF x")]
+    from page_segmentation_spark.datagen import make_media_payload
+
+    rows = [
+        ("u1", 0, make_media_payload(0)),
+        ("u1", 1, None),
+        ("u2", 0, b"JFIF x"),
+        ("u2", 1, make_media_payload(5)),
+    ]
     df = spark.createDataFrame(rows, "url string, media_idx int, payload binary")
-    out = MM.extract_features(df, n_dims=4).collect()
-    assert len(out) == 3
-    by_key = {(r["url"], r["media_idx"]): r["feature"] for r in out}
-    assert by_key[("u1", 0)] == MM.fake_decode_features(b"\x89PNG fake", 4)
-    assert by_key[("u1", 1)] == MM.fake_decode_features(b"", 4)
-    assert all(0.0 <= v < 1.0 for f in by_key.values() for v in f)
-
-
-def test_multimodal_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        MM.decode_image(b"anything")
+    out = MM.extract_features(df).collect()
+    assert len(out) == 4
+    by_key = {(r["url"], r["media_idx"]): r for r in out}
+    good = by_key[("u1", 0)]
+    assert (good["width"], good["height"], good["channels"]) == (4, 4, 1)
+    assert by_key[("u1", 1)]["width"] is None  # null payload -> null features
+    assert by_key[("u2", 0)]["px_mean"] is None  # unsupported format
+    exp = MM.image_features(make_media_payload(5))
+    got5 = by_key[("u2", 1)]
+    assert (
+        got5["width"], got5["height"], got5["channels"],
+        got5["px_mean"], got5["fg_ratio"],
+    ) == exp
 
 
 def test_frame_sample_plan(spark):
