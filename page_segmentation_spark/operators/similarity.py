@@ -112,6 +112,44 @@ def lsh_bucket_topk(
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+def centroid_struct_array(centroids: DataFrame) -> DataFrame:
+    """Collapse a (list_id, cvec) centroid table into ONE row holding
+    ``carr = array<struct<list_id, cvec>>`` sorted by list_id.  Broadcast
+    this single row onto the corpus and the IVF assignment becomes a pure
+    projection (a fold over the array) — zero shuffle on the corpus side,
+    zero row multiplication (the naive crossJoin(centroids) +
+    row_number() window multiplies 10^12 rows by n_centroids and then
+    shuffles the multiplied table)."""
+    return centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("list_id"), F.col("cvec")))
+        ).alias("carr")
+    )
+
+
+def _nearest_list(vec: Column, carr: Column) -> Column:
+    """Argmax-cosine fold over the centroid array: strict ``>`` keeps the
+    FIRST max, and carr is sorted by list_id, so ties break to the lowest
+    list_id (same first-max rule as the scorer argmax)."""
+    vn = norm(vec)
+    init = F.struct(
+        F.lit(-1).cast("long").alias("list_id"),
+        F.lit(-2.0).alias("cos_c"),
+    )
+
+    def step(acc: Column, c: Column) -> Column:
+        cos_c = dot(vec, c["cvec"]) / (vn * norm(c["cvec"]))
+        return F.when(
+            cos_c > acc["cos_c"],
+            F.struct(
+                c["list_id"].cast("long").alias("list_id"),
+                cos_c.alias("cos_c"),
+            ),
+        ).otherwise(acc)
+
+    return F.aggregate(carr, init, step)
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
@@ -121,23 +159,34 @@ def ivf_assign(
     """IVF coarse quantization: assign every vector to its nearest
     centroid (cosine, first-max ties to the lowest list_id).
 
-    ``centroids`` is (list_id, cvec) and is BROADCAST — assignment is one
-    embarrassingly-parallel pass over the vectors plus a per-vector
-    argmax window keyed on id.  At 10^12 rows, write the result bucketed
-    by list_id so probes become partition-pruned scans."""
-    from pyspark.sql import Window
+    Plan shape: the centroid table collapses to a single broadcast row
+    (centroid_struct_array) and the argmax is a projection-side fold —
+    the corpus stage has NO Exchange and NO row multiplication
+    (plan-audited in tests/test_plan_audits.py).  At 10^12 rows, write
+    the result bucketed by list_id so probes become partition-pruned
+    scans."""
+    carr = centroid_struct_array(centroids)
+    out = df.crossJoin(F.broadcast(carr))  # 1-row scalar attach
+    best = _nearest_list(F.col(vec_col), F.col("carr"))
+    return out.select(id_col, vec_col, best["list_id"].alias("list_id"))
 
-    joined = df.crossJoin(F.broadcast(centroids))
-    scored = joined.withColumn(
-        "cos_c", cosine(F.col(vec_col), F.col("cvec"))
+
+def _probe_lists(carr: Column, query: Sequence[float], n_probe: int) -> Column:
+    """The ``n_probe`` list_ids nearest the query, computed in-plan from
+    the broadcast centroid array (no driver-side collect): sort the array
+    by (-cosine, list_id), slice, project the ids."""
+    q = lit_vec(query)
+    ranked = F.array_sort(
+        F.transform(
+            carr,
+            lambda c: F.struct(
+                (-cosine(c["cvec"], q)).alias("neg_cos"),
+                c["list_id"].cast("long").alias("list_id"),
+            ),
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.desc("cos_c"), F.asc("list_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(id_col, vec_col, "list_id")
+    return F.transform(
+        F.slice(ranked, 1, n_probe), lambda s: s["list_id"]
     )
 
 
@@ -158,23 +207,19 @@ def ivf_topk(
     the first ``n_centroids`` ids (fixed anchors standing in for trained
     k-means — the IVF SHAPE is the point: at 10^12 rows the probed lists
     are a partition-pruned fraction n_probe/n_centroids of the corpus,
-    vs the brute-force full scan)."""
+    vs the brute-force full scan).  Plan construction is ACTION-FREE:
+    probe selection is a sort-slice expression over the broadcast
+    centroid array, and assignment is the zero-shuffle fold of
+    ivf_assign."""
     cent = df.where(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("list_id"), F.col(vec_col).alias("cvec")
     )
-    assigned = ivf_assign(df, cent, id_col, vec_col)
-    # probe selection: n_centroids rows — a driver-side plan constant
+    carr = centroid_struct_array(cent)
     q = lit_vec(query)
-    probes = [
-        r["list_id"]
-        for r in cent.select(
-            "list_id", cosine(F.col("cvec"), q).alias("c")
-        )
-        .orderBy(F.desc("c"), F.asc("list_id"))
-        .limit(n_probe)
-        .collect()
-    ]
-    cand = assigned.where(F.col("list_id").isin(probes))
+    out = df.crossJoin(F.broadcast(carr))
+    best = _nearest_list(F.col(vec_col), F.col("carr"))
+    probes = _probe_lists(F.col("carr"), query, n_probe)
+    cand = out.where(F.array_contains(probes, best["list_id"]))
     scored = cand.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
@@ -184,6 +229,7 @@ def ivf_topk(
 
 def embedding_neardup_pairs(
     df: DataFrame,
+    dim: int,
     threshold: float = 0.95,
     n_planes: int = 4,
     id_col: str = "vec_id",
@@ -191,9 +237,9 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, blocked by LSH bucket
     (exact within bucket; at scale the bucket join replaces the quadratic
-    cross product)."""
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = first["d"] if first else 0
+    cross product).  ``dim`` is an explicit parameter (the embedding
+    dimension is a pipeline constant) so plan construction runs no
+    driver-side action."""
     planes = hyperplane_signs(n_planes, dim)
     b = with_lsh_bucket(df, vec_col, planes).select(
         F.col(id_col).alias("sid"), F.col(vec_col).alias("vec"), "lsh_bucket"

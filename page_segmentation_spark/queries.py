@@ -857,7 +857,7 @@ def _lsh_bucket_sql(vec: str, n_planes: int = 4, dim: int = 64) -> str:
 def sim_lsh_neardup(spark, sf_dir):
     """Embedding near-dup pairs, LSH-bucket-blocked (the scale path)."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
-    return S.embedding_neardup_pairs(emb, threshold=0.15, n_planes=4)
+    return S.embedding_neardup_pairs(emb, dim=64, threshold=0.15, n_planes=4)
 
 
 # ------------------------------------------------------------ text analysis

@@ -61,6 +61,29 @@ def test_pair_blocking_never_nested_loop(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_ivf_assign_is_shuffle_free(spark):
+    """IVF coarse assignment must be a broadcast-array projection: no
+    shuffle Exchange on the corpus side and no row multiplication (the
+    naive crossJoin(centroids) + row_number() window multiplies 10^12
+    rows by n_centroids and shuffles the multiplied table)."""
+    from pyspark.sql import functions as F
+
+    from page_segmentation_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cent = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("list_id"), F.col("embedding").alias("cvec")
+    )
+    assigned = ivf_assign(emb, cent)
+    plan = _plan(assigned)
+    # the only allowed exchanges: the single-row centroid aggregation
+    # (Exchange SinglePartition on a 4-row side) and its broadcast
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Window" not in plan, plan
+    rows = assigned.collect()
+    assert len(rows) == {r[0] for r in emb.agg(F.count(F.lit(1))).collect()}.pop()
+
+
 def test_topk_is_take_ordered(spark):
     """Brute-force cosine top-k must not global-sort: TakeOrderedAndProject
     keeps k rows per partition and merges on the driver."""

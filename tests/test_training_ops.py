@@ -212,7 +212,7 @@ def test_embedding_neardup_pairs(spark):
     pairs = {
         (r["id_a"], r["id_b"])
         for r in S.embedding_neardup_pairs(
-            _emb(spark), threshold=0.95, n_planes=2
+            _emb(spark), dim=4, threshold=0.95, n_planes=2
         ).collect()
     }
     assert (0, 1) in pairs
