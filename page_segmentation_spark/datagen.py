@@ -192,6 +192,100 @@ def build_pdf(blocks: List[tuple], compress: bool = False) -> bytes:
     return bytes(out)
 
 
+#: ToUnicode CMap used by build_cid_pdf: ASCII 0x20-0x7E lives at CID
+#: 0x120-0x17E (ONE incrementing bfrange), em-dash at CID 1 (bfchar),
+#: e-acute / u-umlaut at CIDs 2-3 (explicit-array bfrange) — exercising
+#: all three CMap entry shapes the parser supports.
+CID_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+1 begincodespacerange
+<0000> <ffff>
+endcodespacerange
+1 beginbfchar
+<0001> <2014>
+endbfchar
+2 beginbfrange
+<0120> <017e> <0020>
+<0002> <0003> [<00e9> <00fc>]
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end
+"""
+
+
+def _cid_hex(text: str) -> str:
+    out = []
+    for ch in text:
+        o = ord(ch)
+        if 0x20 <= o <= 0x7E:
+            out.append("%04x" % (0x100 + o))
+        elif ch == "—":
+            out.append("0001")
+        elif ch == "é":
+            out.append("0002")
+        elif ch == "ü":
+            out.append("0003")
+    return "".join(out)
+
+
+def build_cid_pdf(
+    blocks: List[tuple], objstm: bool = False, indirect_length: bool = False
+) -> bytes:
+    """Single-page PDF with a Type0 CID font: show ops are hex strings of
+    2-byte CIDs decoded through a Flate-compressed /ToUnicode CMap — the
+    common real-crawl PDF shape.  ``objstm`` packs the page + font
+    dictionaries into a compressed /ObjStm; ``indirect_length`` declares
+    the content stream's /Length as an indirect reference."""
+    import zlib
+
+    ops, y = [], 760
+    for size, text in blocks:
+        ops.append(f"BT /F1 {size:g} Tf 72 {y} Td <{_cid_hex(text)}> Tj ET")
+        y -= 20
+    content = "\n".join(ops).encode("ascii")
+    cmap_z = zlib.compress(CID_CMAP, 6)
+    objs: Dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        5: b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID "
+           b"/ToUnicode 6 0 R >>",
+        6: f"<< /Length {len(cmap_z)} /Filter /FlateDecode >>\nstream\n".encode("ascii")
+           + cmap_z + b"\nendstream",
+    }
+    if indirect_length:
+        objs[4] = b"<< /Length 7 0 R >>\nstream\n" + content + b"\nendstream"
+        objs[7] = str(len(content)).encode("ascii")
+    else:
+        objs[4] = (
+            f"<< /Length {len(content)} >>\nstream\n".encode("ascii")
+            + content + b"\nendstream"
+        )
+    if objstm:
+        packed = [(3, objs.pop(3)), (5, objs.pop(5))]
+        serial = b""
+        header_parts = []
+        for num, body in packed:
+            header_parts.append(f"{num} {len(serial)}")
+            serial += body + b"\n"
+        head = (" ".join(header_parts) + "\n").encode("ascii")
+        payload = zlib.compress(head + serial, 6)
+        objs[8] = (
+            f"<< /Type /ObjStm /N {len(packed)} /First {len(head)} "
+            f"/Length {len(payload)} /Filter /FlateDecode >>\nstream\n"
+            .encode("ascii") + payload + b"\nendstream"
+        )
+    out = bytearray(b"%PDF-1.5\n")
+    for num in sorted(objs):
+        out += f"{num} 0 obj\n".encode("ascii") + objs[num] + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
 def make_pdf_page(doc_id: int, seed: int = 42) -> Dict[str, object]:
     """Deterministic PDF page row (same input_hint shape as make_page):
     title (h1-sized), body paragraphs, and a URL-bearing footer line.

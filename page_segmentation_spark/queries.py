@@ -1042,16 +1042,30 @@ def extract_flagship(spark, sf_dir):
     )
 
 
+def _pdf_escape_col(c):
+    """PDF literal-string escaping of a string column — the JVM twin of
+    datagen._pdf_escape: backslash first, then the parens.  Replacement
+    strings are Java-regex replacements, so a literal backslash is
+    doubled twice (python raw + Java)."""
+    c = F.regexp_replace(c, r"\\", r"\\\\")
+    c = F.regexp_replace(c, r"\(", r"\\(")
+    return F.regexp_replace(c, r"\)", r"\\)")
+
+
 def pdf_pages_from_documents(spark, sf_dir) -> DataFrame:
     """Deterministic PDF byte streams built in-plan from the documents
-    table (JVM string concat; ASCII text, uncompressed content stream):
-    24pt title, two 11pt body paragraphs (double-PAD-suffixed: the 4-node
+    table (JVM string concat; uncompressed content stream): 24pt title,
+    two 11pt body paragraphs (double-PAD-suffixed: the 4-node
     PDF layout has thinner context features than the 10-node HTML fixture,
     so short texts need more ballast for margin-robust closed-form
     extraction — verified bad=0 over all 6000 docs at three SFs), and an
-    8pt URL footer that the furniture heuristic must exclude.  The object
-    skeleton is minimal (no back-computed xref — the parser reads
-    streams, not the xref; documented simplification)."""
+    8pt URL footer that the furniture heuristic must exclude.  Text is
+    PDF-escaped (backslash/parens, mirroring datagen._pdf_escape) and
+    /Length counts OCTETS of the UTF-8-encoded content, so paren-bearing
+    or non-ASCII fixture text cannot silently truncate the stream (the
+    escapes are undone by the parser, so the closed-form oracle twin is
+    unchanged).  The object skeleton is minimal (no back-computed xref —
+    the parser reads streams, not the xref; documented simplification)."""
     d = _t(spark, sf_dir, "documents")
     nl = "\n"
     pad2 = f" {PAD} {PAD}"
@@ -1059,9 +1073,9 @@ def pdf_pages_from_documents(spark, sf_dir) -> DataFrame:
         F.lit("BT /F1 24 Tf 72 760 Td (Document "),
         F.col("doc_id").cast("string"),
         F.lit(f") Tj ET{nl}BT /F1 11 Tf 72 740 Td ("),
-        F.col("text"),
+        _pdf_escape_col(F.col("text")),
         F.lit(f"{pad2}) Tj ET{nl}BT /F1 11 Tf 72 720 Td ("),
-        F.reverse(F.col("text")),
+        _pdf_escape_col(F.reverse(F.col("text"))),
         F.lit(
             f"{pad2}) Tj ET{nl}BT /F1 8 Tf 72 40 Td "
             "(Visit http://example.test/terms or www.example.test/privacy) "
@@ -1077,7 +1091,7 @@ def pdf_pages_from_documents(spark, sf_dir) -> DataFrame:
             "/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
             "4 0 obj\n<< /Length "
         ),
-        F.length(content).cast("string"),
+        F.octet_length(content).cast("string"),
         F.lit(" >>\nstream\n"),
         content,
         F.lit(

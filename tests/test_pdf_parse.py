@@ -122,3 +122,132 @@ def test_pdf_tj_arrays_and_multiple_streams():
                 + b" >>\nstream\n" + c + b"\nendstream\nendobj\n")
     nodes = parse_pdf(pdf)
     assert [n["text"] for n in nodes] == ["Hello world", "second stream"]
+
+
+# ----------------------------------------------------- round-3 coverage
+
+def _wrap_raw_content(content: bytes) -> bytes:
+    return (
+        b"%PDF-1.4\n4 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF\n"
+    )
+
+
+def test_tf_persists_across_text_objects():
+    """PDF graphics state: a font set once applies to every later text
+    object — blocks without their own Tf must NOT fall back to size 0.0
+    (which tagged them footer furniture)."""
+    content = (
+        b"BT /F1 11 Tf 72 760 Td (First body paragraph here) Tj ET\n"
+        b"BT 72 740 Td (Second paragraph no Tf op) Tj ET\n"
+        b"BT 72 720 Td (Third paragraph still body size) Tj ET"
+    )
+    nodes = parse_pdf(_wrap_raw_content(content))
+    assert [n["text"] for n in nodes] == [
+        "First body paragraph here",
+        "Second paragraph no Tf op",
+        "Third paragraph still body size",
+    ]
+    assert [n["tag"] for n in nodes] == ["p", "p", "p"]
+    assert all(n["container"] == "" for n in nodes)  # no furniture
+
+
+def test_tf_persists_across_streams_and_outside_bt():
+    """Tf between text objects (outside BT..ET) and across content
+    streams carries forward."""
+    s1 = b"/F1 24 Tf\nBT 72 760 Td (Title sized outside BT) Tj ET"
+    s2 = b"BT 72 740 Td (Next stream same font) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        + b"".join(
+            b"<< /Length " + str(len(c)).encode() + b" >>\nstream\n"
+            + c + b"\nendstream\n"
+            for c in (s1, s2)
+        )
+        + b"%%EOF\n"
+    )
+    nodes = parse_pdf(pdf)
+    assert [n["tag"] for n in nodes] == ["h1", "h1"]
+
+
+def test_cid_pdf_decodes_through_tounicode_cmap():
+    from page_segmentation_spark.datagen import build_cid_pdf
+
+    blocks = [(24, "Café menü — the title"),
+              (11, "plain ascii body text")]
+    nodes = parse_pdf(build_cid_pdf(blocks))
+    assert [n["text"] for n in nodes] == [
+        "Café menü — the title", "plain ascii body text"
+    ]
+    assert [n["tag"] for n in nodes] == ["h1", "p"]
+
+
+def test_cid_pdf_objstm_and_indirect_length():
+    """Font + page dicts packed in a compressed /ObjStm, content stream
+    /Length as an indirect reference — both resolved via the object map."""
+    from page_segmentation_spark.datagen import build_cid_pdf
+
+    blocks = [(24, "Packed title"), (11, "body via objstm")]
+    for objstm, indirect in ((True, False), (False, True), (True, True)):
+        nodes = parse_pdf(
+            build_cid_pdf(blocks, objstm=objstm, indirect_length=indirect)
+        )
+        assert [n["text"] for n in nodes] == [
+            "Packed title", "body via objstm"
+        ], (objstm, indirect)
+
+
+def test_cid_pdf_full_pipeline_byte_identity(spark):
+    """extract() over a CID PDF equals the single-node oracle byte-for-
+    byte (same shared parser, asserted end-to-end)."""
+    from page_segmentation_spark.datagen import build_cid_pdf
+
+    pdf = build_cid_pdf(
+        [(24, "Unicode title — café"),
+         (11, "A body paragraph that is long enough to be kept as main "
+              "content by the scorer with margin"),
+         (11, "A second body paragraph keeps the span well formed here"),
+         (8, "Visit http://example.test/terms for the legal notices")]
+    )
+    want = extract_document(pdf)["extracted_text"]
+    assert "café" in want and "legal notices" not in want
+    df = spark.createDataFrame([("u1", pdf)], "url string, html binary")
+    row = extract(df).collect()[0]
+    assert row["extracted_text"] == want
+
+
+def test_pdf_fixture_escaping_roundtrip(spark, tmp_path):
+    """ADVICE item: paren/backslash/non-ASCII text through the in-plan
+    PDF builder must survive the build->parse roundtrip (escaping + octet
+    /Length).  Non-ASCII literal bytes decode latin-1 per byte (simple
+    font, no CMap) — the expected text models that."""
+    import pandas as pd
+
+    from page_segmentation_spark.queries import pdf_pages_from_documents
+
+    texts = [
+        "plain ascii body text long enough to extract with margin",
+        "parens (nested (deep)) and \\ backslash \\( tricky here",
+        "non-ascii café über straße text body here",
+    ]
+    pdf_docs = pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts,
+         "lang": ["en"] * len(texts)}
+    )
+    spark.createDataFrame(pdf_docs).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    pages = pdf_pages_from_documents(spark, str(tmp_path))
+    from page_segmentation_spark.pdf_parse import parse_pdf as pp
+
+    for r in pages.collect():
+        doc_id = int(r["url"].rsplit("/", 1)[1].split(".")[0])
+        t = texts[doc_id]
+        mangled = t.encode("utf-8").decode("latin-1")
+        nodes = pp(bytes(r["html"]))
+        assert nodes[0]["text"] == f"Document {doc_id}"
+        assert nodes[1]["text"].startswith(" ".join(mangled.split()))
+        assert nodes[2]["text"].startswith(
+            " ".join(mangled[::-1].split())
+        ) or nodes[2]["text"].startswith(" ".join(t[::-1].encode("utf-8").decode("latin-1").split()))
+        assert len(nodes) == 4  # footer parsed too -> /Length exact
