@@ -108,9 +108,11 @@ def ngram_jaccard(
     jac = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     ).cast("double")
-    return out.select(
+    # filter on the UNROUNDED value (the oracle twin's WHERE is unrounded
+    # too); round only for display
+    return out.where(jac >= threshold).select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
-    ).where(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_signatures(
@@ -191,26 +193,53 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_neardup_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 2,
+    n_pieces: int | None = None,
 ) -> DataFrame:
-    """Near-dup candidates by SimHash hamming distance, blocked on the two
-    8-bit halves (recall-oriented: a pair is a candidate when either half
-    matches exactly), then verified by the exact hamming filter.
+    """Near-dup pairs by SimHash hamming distance: multi-index blocking
+    on ``n_pieces`` contiguous bit ranges (a pair is a candidate when ANY
+    piece matches exactly), then exact hamming verification.
 
-    Scale: the half-match blocking is a UNION of two equi-joins — each
-    hash-partitions on its half — never an OR-join, which Spark can only
-    plan as a nested-loop (quadratic at 10^12 rows).  distinct() dedups
-    pairs whose both halves match."""
+    Completeness (pigeonhole): a pair at hamming distance h differs in at
+    most h pieces, so with ``n_pieces >= h + 1`` at least one piece is
+    intact and the blocker proposes the pair — the default
+    ``n_pieces = max_hamming + 1`` therefore returns EXACTLY the pairs
+    with hamming <= max_hamming, no silent recall loss.  The trade is
+    explicit: more pieces means narrower pieces, coarser buckets, and a
+    bigger candidate set — at 10^12 docs choose max_hamming (and hence
+    pieces) small, or pass a smaller ``n_pieces`` and accept the
+    documented recall bound (complete only to hamming <= n_pieces - 1).
+
+    Scale: the blocking is a UNION of per-piece equi-joins — each
+    hash-partitions on its piece value — never an OR-join, which Spark
+    can only plan as a nested-loop (quadratic at 10^12 rows).
+    distinct() dedups pairs proposed by several pieces."""
+    if n_pieces is None:
+        n_pieces = min(16, max_hamming + 1)
     s = simhash16(df, id_col, text_col)
-    s = s.withColumn("hi", F.shiftright("simhash", 8)).withColumn(
-        "lo", F.col("simhash").bitwiseAND(F.lit(255))
-    )
+    bounds = [round(16 * i / n_pieces) for i in range(n_pieces + 1)]
+    piece_names = []
+    piece_cols = []
+    for p in range(n_pieces):
+        lo, hi = bounds[p], bounds[p + 1]
+        if hi == lo:
+            continue
+        piece_names.append(f"pc_{p}")
+        piece_cols.append(
+            F.shiftright("simhash", lo)
+            .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+            .alias(f"pc_{p}")
+        )
+    s = s.select("sid", "simhash", *piece_cols)
 
-    def half_block(col: str) -> DataFrame:
+    def piece_block(name: str) -> DataFrame:
         a, b = s.alias("a"), s.alias("b")
         return a.join(
             b,
-            (F.col(f"a.{col}") == F.col(f"b.{col}"))
+            (F.col(f"a.{name}") == F.col(f"b.{name}"))
             & (F.col("a.sid") < F.col("b.sid")),
         ).select(
             F.col("a.sid").alias("id_a"),
@@ -219,7 +248,10 @@ def simhash_neardup_pairs(
             F.col("b.simhash").alias("sh_b"),
         )
 
-    cand = half_block("hi").unionByName(half_block("lo"))
+    cand = None
+    for name in piece_names:
+        blk = piece_block(name)
+        cand = blk if cand is None else cand.unionByName(blk)
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int")
     return (
         cand.select("id_a", "id_b", ham.alias("hamming"))
@@ -264,6 +296,7 @@ def lsh_verified_pairs(
     jac = F.col("n_inter").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     ).cast("double")
-    return out.select(
+    # unrounded threshold (mirrors the oracle's WHERE); round for display
+    return out.where(jac >= threshold).select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
-    ).where(F.col("jaccard") >= threshold)
+    )

@@ -684,26 +684,19 @@ def dedup_simhash(spark, sf_dir):
 @_q(
     "dedup_simhash_pairs",
     f"""
-    WITH sims AS ({_simhash_sql()}),
-    h AS (
-      SELECT sid, simhash, simhash // 256 AS hi, simhash % 256 AS lo
-      FROM sims
-    ), cand AS (
-      SELECT a.sid AS id_a, b.sid AS id_b,
-             a.simhash AS sh_a, b.simhash AS sh_b
-      FROM h a JOIN h b ON a.hi = b.hi AND a.sid < b.sid
-      UNION ALL
-      SELECT a.sid, b.sid, a.simhash, b.simhash
-      FROM h a JOIN h b ON a.lo = b.lo AND a.sid < b.sid
-    )
-    SELECT DISTINCT id_a, id_b,
-           CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
-    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 6
+    WITH sims AS ({_simhash_sql()})
+    SELECT a.sid AS id_a, b.sid AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sims a JOIN sims b ON a.sid < b.sid
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     """,
 )
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: union of two half-equi-joins (hash-
-    partitionable; never an OR nested-loop join) + exact hamming verify."""
+    """SimHash near-dup pairs: multi-index blocking (union of per-piece
+    equi-joins, pigeonhole-complete for hamming <= n_pieces-1; never an
+    OR nested-loop join) + exact hamming verify.  With the default
+    n_pieces = max_hamming+1 the result is EXACTLY all pairs at hamming
+    <= 6, which is what the oracle computes by brute force."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return D.simhash_neardup_pairs(d, "doc_id", "text", max_hamming=6)
 

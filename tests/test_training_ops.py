@@ -120,7 +120,7 @@ def test_simhash_identical_and_near(spark):
 
 
 def test_simhash_pairs_plan_is_hash_joinable(spark):
-    """The half-block must plan as equi-joins (union of two), never a
+    """The piece-block must plan as equi-joins (a union of them), never a
     nested-loop OR-join — the quadratic scale-killer at 10^12 rows."""
     plan = (
         D.simhash_neardup_pairs(_docs(spark), "doc_id", "text")
@@ -128,6 +128,38 @@ def test_simhash_pairs_plan_is_hash_joinable(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_multi_index_blocking_is_complete(spark):
+    """Pigeonhole completeness: with the default n_pieces = max_hamming+1
+    the blocked result equals the brute-force pair set — the old 2-half
+    blocker silently lost pairs differing >=1 bit in each half."""
+    sh = {r["sid"]: r["simhash"] for r in
+          D.simhash16(_docs(spark), "doc_id", "text").collect()}
+    for h in (1, 2, 6):
+        brute = {
+            (a, b): bin(sh[a] ^ sh[b]).count("1")
+            for a in sh for b in sh
+            if a < b and bin(sh[a] ^ sh[b]).count("1") <= h
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in D.simhash_neardup_pairs(
+                _docs(spark), "doc_id", "text", max_hamming=h
+            ).collect()
+        }
+        assert got == brute, h
+    # explicit n_pieces below h+1: documented recall bound, still a subset
+    partial = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_neardup_pairs(
+            _docs(spark), "doc_id", "text", max_hamming=6, n_pieces=2
+        ).collect()
+    }
+    assert partial <= set(
+        (a, b) for a in sh for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 6
+    )
 
 
 def test_ngram_jaccard_block_col_restricts_pairs(spark):

@@ -106,9 +106,9 @@ Flagship extraction job (parse -> featurize -> score -> CC vote -> spans
 -> byte-exact concat) over the deterministic synthetic corpus
 ({lo['n_pages']} pages, datagen seed 42, read from parquet), identical
 input and code at two parallelism levels — the sandbox stand-in for N vs
-4N executors (BASELINE.md protocol).  Fresh JVM per level; warm-up runs
-until converged (JIT steady state) excluded; MEDIAN of 3 measured runs
-(all runs listed — no cherry-picking).
+4N executors (BASELINE.md protocol).  Fresh JVM per level; a FIXED
+3-run warm-up (JIT/codegen spin-up) is excluded, then the MEDIAN of 3
+measured runs is reported (all runs listed — no cherry-picking).
 
 | level | master | wall sec (median) | all runs | docs/sec |
 |---|---|---|---|---|
