@@ -62,6 +62,11 @@ class ExtractSettings:
     #: 'morphological' (P16) — the find_segments/get_text_contours choice
     #: (reference lib/pc_segmentation.py:24-116).
     span_former: str = "default"
+    #: named scorer architecture ('base', 'wide_context', ...) resolved
+    #: through functions/architectures.ARCHITECTURES — the analog of the
+    #: reference's architecture enum (reference lib/architecture.py:5-64).
+    #: Read by BOTH plans/extract and oracle.extract_document (mirror).
+    architecture: str = "base"
     #: separator used when concatenating node texts (must match oracle).
     separator: str = "\n\n"
     n_classes: int = N_CLASSES

@@ -55,19 +55,22 @@ def with_doc_stats(nodes: DataFrame) -> DataFrame:
     )
 
 
-def with_context_sums(nodes: DataFrame) -> DataFrame:
+def with_context_sums(nodes: DataFrame, arch=None) -> DataFrame:
     """Sliding integer sums at local (±2), section (±8) and directional
-    (one-sided ±3) ranges — the 1-D conv/pool pyramid (P10).
+    (one-sided ±3) ranges — the 1-D conv/pool pyramid (P10).  ``arch``
+    (functions/architectures.Arch) overrides the radii; None = base.
 
     All frames share one (partition, order) spec: a single sort serves
     every frame; empty one-sided frames sum to NULL and are coalesced to
     0 (the oracle returns 0 there).  A prefix-sum + lead/lag variant was
     A/B'd and showed no robust win over the sliding frames on this box
     (measurement noise ±2x); sliding is kept for simplicity."""
+    loc_r = sc.LOCAL_RADIUS if arch is None else arch.local_radius
+    sec_r = sc.SECTION_RADIUS if arch is None else arch.section_radius
     ordered = Window.partitionBy("url").orderBy("node_idx")
-    loc = ordered.rowsBetween(-sc.LOCAL_RADIUS, sc.LOCAL_RADIUS)
-    sec = ordered.rowsBetween(-sc.SECTION_RADIUS, sc.SECTION_RADIUS)
-    r = sc.DIRECTIONAL_RADIUS
+    loc = ordered.rowsBetween(-loc_r, loc_r)
+    sec = ordered.rowsBetween(-sec_r, sec_r)
+    r = sc.DIRECTIONAL_RADIUS if arch is None else arch.directional_radius
     fwd = ordered.rowsBetween(1, r)
     bwd = ordered.rowsBetween(-r, -1)
     z = F.lit(0).cast("long")
@@ -83,12 +86,14 @@ def with_context_sums(nodes: DataFrame) -> DataFrame:
     )
 
 
-def with_features(nodes: DataFrame) -> DataFrame:
+def with_features(nodes: DataFrame, arch=None) -> DataFrame:
     """Assemble the ordered feature array (must mirror
     scorer_core.build_features exactly — one double division per feature)."""
     d = lambda c: c.cast("double")  # noqa: E731
     med1 = F.col("char_med") + F.lit(1.0)
-    cap = F.lit(sc.CHARS_NORM_CAP)
+    loc_r = sc.LOCAL_RADIUS if arch is None else arch.local_radius
+    sec_r = sc.SECTION_RADIUS if arch is None else arch.section_radius
+    cap = F.lit(sc.CHARS_NORM_CAP if arch is None else arch.chars_norm_cap)
     feats = F.array(
         F.least(d(F.col("n_chars")) / med1, cap),
         d(F.col("n_link_chars")) / (d(F.col("n_chars")) + F.lit(1.0)),
@@ -100,9 +105,9 @@ def with_features(nodes: DataFrame) -> DataFrame:
         _tag_flag(sc.MEDIA_PRIOR_TAGS),
         d(F.col("n_upper")) / (d(F.col("n_alpha")) + F.lit(1.0)),
         d(F.col("n_digits")) / (d(F.col("n_chars")) + F.lit(1.0)),
-        F.least(d(F.col("loc_chars")) / (F.lit(5.0) * med1), cap),
+        F.least(d(F.col("loc_chars")) / (F.lit(2.0 * loc_r + 1.0) * med1), cap),
         d(F.col("loc_link")) / (d(F.col("loc_chars")) + F.lit(1.0)),
-        F.least(d(F.col("sec_chars")) / (F.lit(17.0) * med1), cap),
+        F.least(d(F.col("sec_chars")) / (F.lit(2.0 * sec_r + 1.0) * med1), cap),
         d(F.col("sec_link")) / (d(F.col("sec_chars")) + F.lit(1.0)),
         d(F.col("doc_link")) / (d(F.col("doc_chars")) + F.lit(1.0)),
         d(F.col("node_idx")) / d(F.col("n_nodes")),
@@ -115,6 +120,7 @@ def with_features(nodes: DataFrame) -> DataFrame:
     return nodes.withColumn("features", feats)
 
 
-def featurize(nodes: DataFrame) -> DataFrame:
-    """Full feature stage: doc stats -> context sums -> feature array."""
-    return with_features(with_context_sums(with_doc_stats(nodes)))
+def featurize(nodes: DataFrame, arch=None) -> DataFrame:
+    """Full feature stage: doc stats -> context sums -> feature array.
+    ``arch`` selects a named architecture's radii/cap (None = base)."""
+    return with_features(with_context_sums(with_doc_stats(nodes), arch), arch)

@@ -19,18 +19,20 @@ from pyspark.sql import functions as F
 from page_segmentation_spark.functions import scorer_core as sc
 
 
-def logit_col(cls: int) -> Column:
-    weights = F.array(*[F.lit(float(w)) for w in sc.WEIGHTS[cls]])
+def logit_col(cls: int, arch=None) -> Column:
+    w_row = sc.WEIGHTS[cls] if arch is None else arch.weights[cls]
+    bias = sc.BIAS[cls] if arch is None else arch.bias[cls]
+    weights = F.array(*[F.lit(float(w)) for w in w_row])
     products = F.zip_with("features", weights, lambda f, w: f * w)
     return F.aggregate(
-        products, F.lit(float(sc.BIAS[cls])), lambda acc, x: acc + x
+        products, F.lit(float(bias)), lambda acc, x: acc + x
     )
 
 
-def with_logits(nodes: DataFrame) -> DataFrame:
+def with_logits(nodes: DataFrame, arch=None) -> DataFrame:
     out = nodes
     for cls in sc.CLASS_ORDER:
-        out = out.withColumn(f"logit_{cls}", logit_col(cls))
+        out = out.withColumn(f"logit_{cls}", logit_col(cls, arch))
     return out
 
 
@@ -46,5 +48,7 @@ def with_pred(nodes: DataFrame) -> DataFrame:
     return nodes.withColumn("pred_raw", pred.cast("int"))
 
 
-def score(nodes: DataFrame) -> DataFrame:
-    return with_pred(with_logits(nodes))
+def score(nodes: DataFrame, arch=None) -> DataFrame:
+    """``arch`` swaps in a named architecture's weights/bias (None =
+    base; see functions/architectures.ARCHITECTURES)."""
+    return with_pred(with_logits(nodes, arch))

@@ -135,15 +135,27 @@ def build_features(
     fwd_link: int = 0,
     bwd_chars: int = 0,
     bwd_link: int = 0,
+    arch=None,
 ) -> List[float]:
     """Assemble the feature vector for one node (oracle-side kernel).
 
     The Spark side builds the identical array with column expressions in
     :mod:`page_segmentation_spark.functions.features`; keep both in sync.
-    """
+    ``arch`` (an :class:`~page_segmentation_spark.functions.architectures
+    .Arch`) sets the window radii whose (2r+1) widths normalize the
+    context sums, and the length cap; None = the base architecture."""
+    loc_w, sec_w, cap = (
+        (5.0, 17.0, CHARS_NORM_CAP)
+        if arch is None
+        else (
+            2.0 * arch.local_radius + 1.0,
+            2.0 * arch.section_radius + 1.0,
+            arch.chars_norm_cap,
+        )
+    )
     tag = node["tag"]
     return [
-        min(node["n_chars"] / (char_med + 1.0), CHARS_NORM_CAP),
+        min(node["n_chars"] / (char_med + 1.0), cap),
         node["n_link_chars"] / (node["n_chars"] + 1.0),
         node["n_punct"] / (node["n_chars"] + 1.0),
         node["n_stop"] / (node["n_tokens"] + 1.0),
@@ -153,9 +165,9 @@ def build_features(
         1.0 if tag in MEDIA_PRIOR_TAGS else 0.0,
         node["n_upper"] / (node["n_alpha"] + 1.0),
         node["n_digits"] / (node["n_chars"] + 1.0),
-        min(loc_chars / (5.0 * (char_med + 1.0)), CHARS_NORM_CAP),
+        min(loc_chars / (loc_w * (char_med + 1.0)), cap),
         loc_link / (loc_chars + 1.0),
-        min(sec_chars / (17.0 * (char_med + 1.0)), CHARS_NORM_CAP),
+        min(sec_chars / (sec_w * (char_med + 1.0)), cap),
         sec_link / (sec_chars + 1.0),
         doc_link / (doc_chars + 1.0),
         node["node_idx"] / float(n_nodes),
@@ -167,24 +179,24 @@ def build_features(
     ]
 
 
-def logit(features: Sequence[float], cls: int) -> float:
+def logit(features: Sequence[float], cls: int, arch=None) -> float:
     """Sequential fold, fixed order — bit-identical to the Spark
     ``aggregate(zip_with(...), bias, (acc,x) -> acc + x)`` expression."""
-    acc = BIAS[cls]
-    w = WEIGHTS[cls]
+    acc = BIAS[cls] if arch is None else arch.bias[cls]
+    w = WEIGHTS[cls] if arch is None else arch.weights[cls]
     for i in range(N_FEATURES):
         acc = acc + features[i] * w[i]
     return acc
 
 
-def classify(features: Sequence[float]) -> int:
+def classify(features: Sequence[float], arch=None) -> int:
     """First-max argmax over class logits (lowest class id wins ties),
     matching np.argmax semantics in the reference CC vote
     (reference lib/postprocess.py:23)."""
     best_cls = CLASS_ORDER[0]
-    best = logit(features, best_cls)
+    best = logit(features, best_cls, arch)
     for cls in CLASS_ORDER[1:]:
-        v = logit(features, cls)
+        v = logit(features, cls, arch)
         if v > best:
             best, best_cls = v, cls
     return best_cls

@@ -65,18 +65,24 @@ def char_median(nodes: List[Dict[str, Any]]) -> float:
     return sc.exact_median(fg)
 
 
-def score_nodes(nodes: List[Dict[str, Any]]) -> Tuple[List[int], float]:
-    """Stages 2-4: per-node predicted class (raw, pre-vote)."""
+def score_nodes(
+    nodes: List[Dict[str, Any]], arch=None
+) -> Tuple[List[int], float]:
+    """Stages 2-4: per-node predicted class (raw, pre-vote).  ``arch``
+    selects a named architecture (radii + weights; None = base) — the
+    oracle twin of featurize(arch)/score(arch)."""
     if not nodes:
         return [], 0.0
     med = char_median(nodes)
     chars = [n["n_chars"] for n in nodes]
     links = [n["n_link_chars"] for n in nodes]
-    loc_c = _window_sums(chars, sc.LOCAL_RADIUS)
-    loc_l = _window_sums(links, sc.LOCAL_RADIUS)
-    sec_c = _window_sums(chars, sc.SECTION_RADIUS)
-    sec_l = _window_sums(links, sc.SECTION_RADIUS)
-    r = sc.DIRECTIONAL_RADIUS
+    loc_r = sc.LOCAL_RADIUS if arch is None else arch.local_radius
+    sec_r = sc.SECTION_RADIUS if arch is None else arch.section_radius
+    loc_c = _window_sums(chars, loc_r)
+    loc_l = _window_sums(links, loc_r)
+    sec_c = _window_sums(chars, sec_r)
+    sec_l = _window_sums(links, sec_r)
+    r = sc.DIRECTIONAL_RADIUS if arch is None else arch.directional_radius
     fwd_c = _window_sums(chars, 0, 1, r)
     fwd_l = _window_sums(links, 0, 1, r)
     bwd_c = _window_sums(chars, 0, -r, -1)
@@ -88,9 +94,9 @@ def score_nodes(nodes: List[Dict[str, Any]]) -> Tuple[List[int], float]:
     for i, node in enumerate(nodes):
         feats = sc.build_features(
             node, med, loc_c[i], loc_l[i], sec_c[i], sec_l[i], doc_c, doc_l,
-            n, fwd_c[i], fwd_l[i], bwd_c[i], bwd_l[i],
+            n, fwd_c[i], fwd_l[i], bwd_c[i], bwd_l[i], arch=arch,
         )
-        preds.append(sc.classify(feats))
+        preds.append(sc.classify(feats, arch))
     return preds, med
 
 
@@ -215,9 +221,14 @@ def extract_document(
     """Full pipeline for one page (HTML or PDF byte stream — format
     detected by parse_page).  Returns
     {extracted_text, spans:[(start,end,n_main)], n_nodes, char_med}."""
+    from page_segmentation_spark.functions.architectures import (
+        find_architecture,
+    )
+
     settings = settings or ExtractSettings()
+    arch = find_architecture(settings.architecture)
     nodes = parse_page(html, max_nodes=settings.max_nodes_per_doc)
-    preds, med = score_nodes(nodes)
+    preds, med = score_nodes(nodes, arch)
     if "cc_majority" in settings.post_process:
         preds = cc_majority_vote(nodes, preds)
     spans = cut_spans(nodes, preds, settings, med)

@@ -42,9 +42,14 @@ def classified_nodes(
     pages: DataFrame, settings: ExtractSettings | None = None
 ) -> DataFrame:
     """pages -> node table with pred (post-vote) — stages 1-5."""
+    from page_segmentation_spark.functions.architectures import (
+        find_architecture,
+    )
+
     settings = settings or ExtractSettings()
+    arch = find_architecture(settings.architecture)
     nodes = parse_pages(pages, max_nodes=settings.max_nodes_per_doc)
-    nodes = score(featurize(nodes))
+    nodes = score(featurize(nodes, arch), arch)
     if settings.post_process:
         for name in settings.post_process:
             nodes = find_postprocessor(name)(nodes)

@@ -1137,6 +1137,43 @@ def extract_pdf_flagship(spark, sf_dir):
 
 
 @_q(
+    "extract_arch_wide",
+    f"""
+    SELECT 'https://testdata/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           'Document ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+             || text || ' {_PAD_SQL}' || chr(10) || chr(10)
+             || reverse(text) || ' {_PAD_SQL}' AS extracted_text,
+           CAST(1 AS BIGINT) AS n_spans,
+           CAST(10 AS BIGINT) AS n_nodes
+    FROM documents
+    """,
+)
+def extract_arch_wide(spark, sf_dir):
+    """The flagship pipeline under the NON-DEFAULT scorer architecture
+    ('wide_context': local ±3 / section ±12 / directional ±4 — the
+    registry analog of the reference's architecture enum, reference
+    lib/architecture.py:5-64).  The fixture corpus is inside both
+    architectures' robust operating range, so the closed-form oracle is
+    the same as extract_flagship (verified bad=0 over all docs at sf0.01
+    and sf0.1); the architectures DIFFER on adversarial layouts
+    (tests/test_architectures.py) and the plan shape is unchanged (still
+    one Exchange)."""
+    from page_segmentation_spark.config import ExtractSettings
+    from page_segmentation_spark.packaging import ship_package
+    from page_segmentation_spark.plans.extract import extract
+
+    ship_package(spark)
+    pages = pages_from_documents(spark, sf_dir)
+    out = extract(pages, ExtractSettings(architecture="wide_context"))
+    return out.select(
+        "url",
+        "extracted_text",
+        F.size("spans").cast("long").alias("n_spans"),
+        "n_nodes",
+    )
+
+
+@_q(
     "w3_xycut_segments",
     """
     WITH base AS (

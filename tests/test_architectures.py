@@ -1,0 +1,104 @@
+"""Named scorer architectures (reference lib/architecture.py:5-64 enum
+analog): registry dispatch, per-architecture byte-identity, a frozen
+golden for the non-default architecture, and the one-Exchange plan
+invariant under architecture swap."""
+
+import hashlib
+import json
+import os
+
+import pytest
+
+from page_segmentation_spark.config import ExtractSettings
+from page_segmentation_spark.datagen import make_page, make_pdf_page, mixed_pages_df
+from page_segmentation_spark.functions.architectures import (
+    ARCHITECTURES,
+    Arch,
+    find_architecture,
+    register_architecture,
+)
+from page_segmentation_spark.functions import scorer_core as sc
+from page_segmentation_spark.oracle import extract_document
+from page_segmentation_spark.plans.extract import extract
+
+WIDE = ExtractSettings(architecture="wide_context")
+
+
+def test_registry_lookup_and_unknown():
+    assert find_architecture("base").local_radius == sc.LOCAL_RADIUS
+    assert find_architecture("wide_context").section_radius == 12
+    with pytest.raises(KeyError, match="unknown architecture"):
+        find_architecture("nope")
+
+
+def test_register_custom_architecture():
+    arch = Arch(name="_test_tmp", weights=sc.WEIGHTS, bias=sc.BIAS,
+                local_radius=1)
+    register_architecture(arch)
+    try:
+        assert find_architecture("_test_tmp").local_radius == 1
+    finally:
+        ARCHITECTURES.pop("_test_tmp")
+
+
+def _sandwich_page() -> bytes:
+    """A page where the wider section window changes a prediction: a
+    short straggler paragraph 9 tiny nodes after a link block — inside
+    the wide ±12 window's smoothing reach, outside the base ±8."""
+    links = "".join(
+        f'<li><a href="/p/{i}">related link item number {i} here</a></li>'
+        for i in range(5)
+    )
+    paras = "".join(f"<p>{'word ' * 5}end.</p>" for _ in range(3))
+    filler = "".join(f"<p>tiny{j}</p>" for j in range(9))
+    return (
+        f"<html><body><article>{paras}</article><ul>{links}</ul>{filler}"
+        f"<p>{'straggler content sentence with several words here ' * 4}</p>"
+        "</body></html>"
+    ).encode()
+
+
+def test_architectures_genuinely_differ():
+    h = _sandwich_page()
+    a = extract_document(h)["extracted_text"]
+    b = extract_document(h, WIDE)["extracted_text"]
+    assert a != b
+
+
+def test_wide_arch_byte_identity(spark):
+    """Spark pipeline == oracle byte-for-byte under the non-default
+    architecture (the invariant is per-architecture)."""
+    rows = extract(mixed_pages_df(spark, 24), WIDE).collect()
+    by_url = {r["url"]: r["extracted_text"] for r in rows}
+    for i in range(24):
+        p = make_pdf_page(i) if i % 4 == 0 else make_page(i)
+        assert (
+            extract_document(p["html"], WIDE)["extracted_text"]
+            == by_url[p["url"]]
+        ), p["url"]
+
+
+def test_wide_arch_frozen_golden():
+    path = os.path.join(
+        os.path.dirname(__file__), "goldens", "extractions_wide_seed42.json"
+    )
+    with open(path) as f:
+        gold = json.load(f)
+    assert len(gold) == 34
+    for url, g in gold.items():
+        r = extract_document(make_page(g["doc_id"])["html"], WIDE)
+        sha = hashlib.sha256(r["extracted_text"].encode()).hexdigest()
+        assert sha == g["text_sha256"], f"text drift for {url}"
+        assert [list(s) for s in r["spans"]] == g["spans"], url
+        assert r["n_nodes"] == g["n_nodes"], url
+
+
+def test_wide_arch_plan_still_one_exchange(spark, tmp_path):
+    """Swapping architectures changes literals and window frames, not the
+    plan shape: still exactly one hash Exchange, zero Python eval."""
+    from page_segmentation_spark.datagen import pages_df
+
+    df = extract(pages_df(spark, 8, partitions=2), WIDE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan
