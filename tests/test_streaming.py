@@ -101,6 +101,76 @@ def test_first_seen_stateful_dedup(spark, tmp_path):
     assert len(hashes) == 6  # 4 originals + docs 8 and 9
 
 
+def test_first_seen_dedup_horizon_eviction(spark, tmp_path):
+    """Event-time TTL eviction: a content hash unseen past the horizon is
+    evicted (re-emits on return); one re-delivered inside the horizon
+    stays suppressed.  Watermark advances run-over-run via checkpoint."""
+    import datetime as dt
+
+    from page_segmentation_spark.packaging import ship_package
+    from page_segmentation_spark.sources.pages_schema import PAGES_DDL
+    from page_segmentation_spark.streaming.dedup_stream import (
+        first_seen_stream,
+    )
+
+    ship_package(spark)
+    src = str(tmp_path / "pages_in")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "first_seen_out")
+
+    def ts(sec):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+    def land(rows):
+        spark.createDataFrame(
+            [(u, ts(s), b"", t, "en") for (u, s, t) in rows], PAGES_DDL
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_cycle():
+        stream = (
+            spark.readStream.schema(PAGES_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            first_seen_stream(stream, dedup_horizon_s=600)
+            .writeStream.foreachBatch(
+                lambda df, _b: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: A at t=1000 -> emits; A's eviction deadline becomes t=1600
+    land([("u/a1", 1000, "alpha text")])
+    run_cycle()
+    # run 2: B at t=3000 -> emits; watermark during the batch is still
+    # 1000 (from run 1), so A survives; after the run watermark = 3000
+    land([("u/b1", 3000, "beta text")])
+    run_cycle()
+    # run 3: C at t=3100 -> emits; batch runs with watermark 3000 > 1600
+    # so A's state is evicted; B (deadline 3600) survives
+    land([("u/c1", 3100, "gamma text")])
+    run_cycle()
+    # run 4: A and B re-delivered at t=3200 -> A re-emits (evicted), B is
+    # still suppressed (deadline 3600 > watermark 3100)
+    land([("u/a2", 3200, "alpha text"), ("u/b2", 3200, "beta text")])
+    run_cycle()
+
+    rows = spark.read.parquet(sink).collect()
+    by_hash = {}
+    for r in rows:
+        by_hash.setdefault(r["content_hash"], []).append(r["first_url"])
+    counts = sorted(len(v) for v in by_hash.values())
+    assert len(rows) == 4  # A, B, C, A-again
+    assert counts == [1, 1, 2]  # only A emitted twice
+    twice = [urls for urls in by_hash.values() if len(urls) == 2][0]
+    assert sorted(twice) == ["u/a1", "u/a2"]
+
+
 def test_crawl_stats_stream_plan(spark, tmp_path):
     src = str(tmp_path / "pages_in")
     pages_df(spark, 8, partitions=1).write.parquet(src)
