@@ -142,6 +142,123 @@ def gen_pages(n: int, seed: int = 42, start: int = 0) -> Iterator[Dict[str, obje
         yield make_page(i, seed)
 
 
+# ----------------------------------------------------- adversarial fixtures
+#
+# Hostile real-corpus shapes that the kind-schedule corpus above does not
+# cover, for tools/quality_eval.py's per-shape recall/leakage report and
+# the pinned regression test (tests/test_quality_shapes.py).  Kept OUT of
+# make_page so frozen goldens and the flagship oracle fixture stay stable.
+
+HOSTILE_SHAPES = ("comments", "template", "split_article", "link_dense")
+
+
+def hostile_page(shape: str, doc_id: int, seed: int = 42) -> Dict[str, object]:
+    """One adversarial page; returns the make_page row shape plus
+    ``gt_main`` (normalized GT paragraph texts that MUST be extracted) and
+    ``boiler_probe`` (marker strings that must NOT leak into extractions).
+
+    Shapes:
+      * comments      — article followed by a long comment thread in a
+                        plain <section> (no boiler container tag, text-
+                        heavy, low link density): the classic leakage trap
+      * template      — the same promo paragraph repeated in bare <div>s
+                        before/inside/after the article (template
+                        boilerplate carries no tag/container signal)
+      * split_article — one piece split across TWO <article> elements
+                        with an ad block between them: recall must span
+                        the gap
+      * link_dense    — legitimate prose where every paragraph carries
+                        several inline citation links: high link density
+                        on REAL content (recall stress)
+    """
+    if shape not in HOSTILE_SHAPES:
+        raise ValueError(f"shape must be one of {HOSTILE_SHAPES}")
+    rng = random.Random((seed << 32) ^ doc_id ^ 0xAD7E)
+    words = _WORDS_EN
+    title = _sentence(rng, words, rng.randint(4, 8))
+    paras = [_paragraph(rng, words, rng.randint(3, 6)) for _ in range(6)]
+    gt_main = [" ".join(title.split())]
+    boiler_probe: List[str] = []
+    body: List[str] = ["<header>", _nav(rng), "</header>"]
+
+    if shape == "comments":
+        art = [f"<h1>{title}</h1>"] + [f"<p>{p}</p>" for p in paras]
+        gt_main += [" ".join(p.split()) for p in paras]
+        comments = []
+        for ci in range(10):
+            handle = f"user{1000 + ci * 7} says:"
+            c = _paragraph(rng, words, rng.randint(2, 5))
+            comments.append(f"<div><p>{handle}</p><p>{c}</p></div>")
+            boiler_probe.append(handle)
+        body.append("<article>" + "".join(art) + "</article>")
+        body.append(
+            '<section class="comments"><h3>142 Comments</h3>'
+            + "".join(comments)
+            + "</section>"
+        )
+        boiler_probe.append("142 Comments")
+    elif shape == "template":
+        promo = (
+            "Try PremiumPlan free for 30 days and unlock exclusive "
+            "member benefits today"
+        )
+        boiler_probe.append(promo)
+        art = [f"<h1>{title}</h1>"]
+        for i, p in enumerate(paras):
+            art.append(f"<p>{p}</p>")
+            if i % 2 == 1:
+                art.append(f'<div class="promo">{promo}</div>')
+        gt_main += [" ".join(p.split()) for p in paras]
+        body.append(f'<div class="promo">{promo}</div>')
+        body.append("<article>" + "".join(art) + "</article>")
+        body.append(f'<div class="promo">{promo}</div>')
+    elif shape == "split_article":
+        half = len(paras) // 2
+        gt_main += [" ".join(p.split()) for p in paras]
+        ad = rng.choice(_AD_TEXTS)
+        boiler_probe.append(ad)
+        body.append(
+            "<article>"
+            + f"<h1>{title}</h1>"
+            + "".join(f"<p>{p}</p>" for p in paras[:half])
+            + "</article>"
+        )
+        body.append(f'<div class="ad"><a href="/ad">{ad}</a></div>')
+        body.append(
+            "<article>"
+            + "".join(f"<p>{p}</p>" for p in paras[half:])
+            + "</article>"
+        )
+    else:  # link_dense
+        art = [f"<h1>{title}</h1>"]
+        for p in paras:
+            toks = p.split()
+            # turn ~1/3 of the words into inline citation links
+            for i in range(2, len(toks), 3):
+                toks[i] = f'<a href="/ref/{i}">{toks[i]}</a>'
+            art.append(f"<p>{' '.join(toks)}</p>")
+            gt_main.append(" ".join(p.split()))
+        body.append("<article>" + "".join(art) + "</article>")
+    body.append(_sidebar(rng, words))
+    body.append(_footer(rng))
+
+    html = (
+        "<!DOCTYPE html><html><head><title>Hostile %s %d</title>"
+        "<script>var x=1;</script></head><body>%s</body></html>"
+        % (shape, doc_id, "".join(body))
+    )
+    ts = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=doc_id % 31_536_000)
+    return {
+        "url": f"https://hostile.test/{shape}/{doc_id}",
+        "warc_ts": ts,
+        "html": html.encode("utf-8"),
+        "text": " ".join(gt_main),
+        "lang": "en",
+        "gt_main": gt_main,
+        "boiler_probe": boiler_probe,
+    }
+
+
 # ------------------------------------------------------------ PDF fixtures
 
 def _pdf_escape(s: str) -> str:

@@ -80,13 +80,21 @@ N_FEATURES = len(FEATURE_NAMES)
 #: fixed scorer weights, class id -> per-feature weight row (+ bias).
 #: Shipped as literals (the "deterministic weights npz" of SURVEY §7) so
 #: both sides embed identical doubles.
+#: f20 (in_boiler_container) is DECISIVE by design: ±5.5 exceeds the
+#: maximum main-vs-boiler margin any prose node can assemble from the
+#: other features (~+6.5 observed, ~+10.6 theoretical bound → swing 11),
+#: so text inside aside/nav/footer/header or a class-flagged boilerplate
+#: wrapper (html_parse.BOILER_HINT_RE: comment threads, inline promos,
+#: share bars) never extracts.  Legitimate article headers survive via
+#: the parser's HTML5 scoping rule (header/footer inside article/main
+#: resolve to the article, html_parse._current_container).
 WEIGHTS: Dict[int, List[float]] = {
     CLS_BOILER: [-0.8, 3.0, -0.5, -0.5, 0.1, -0.5, 2.0, 0.0,
                  0.5, 0.8, -0.1, 2.0, -0.05, 1.0, 0.5, 0.2,
-                 2.0, 1.0, -0.35, -1.0, 1.25],
+                 2.0, 1.0, -0.35, -1.0, 5.5],
     CLS_MAIN: [1.2, -4.0, 1.5, 2.0, -0.1, 1.0, -2.0, -4.0,
                -1.0, -0.8, 0.25, -2.5, 0.15, -1.0, -0.5, -0.2,
-               -2.5, -0.5, 0.35, 1.0, -1.25],
+               -2.5, -0.5, 0.35, 1.0, -5.5],
     CLS_MEDIA: [-2.0, 0.0, 0.0, 0.0, 0.0, -1.0, -1.0, 6.0,
                 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
                 0.0, 0.0, 0.0, 0.0, 0.0],

@@ -57,6 +57,33 @@ SEMANTIC_CONTAINERS = frozenset(
     "article main aside nav footer header".split()
 )
 
+# class/id tokens that mark an element as boilerplate regardless of tag —
+# real-crawl boilerplate (comment threads, inline promos, share bars,
+# cookie banners) lives in <div>/<section> wrappers whose tag carries no
+# signal; the class attribute is the strongest remaining hint (the same
+# token lists Readability/boilerpipe-style extractors use).  An element
+# matching this is treated as a synthetic 'aside' container for every
+# node inside it (innermost-ancestor rule unchanged).  Word-ish
+# boundaries so 'download'/'shadow'/'gradient' never match.
+import re as _re
+
+BOILER_HINT_RE = _re.compile(
+    r"(?:^|[\s_-])(?:ad|ads|advert\w*|promo\w*|sponsor\w*|comment\w*|"
+    r"sidebar|related|share|social|newsletter|subscrib\w*|cookie\w*|"
+    r"banner|breadcrumb\w*|widget|masthead|disclaimer|pagination|pager)"
+    r"(?:$|[\s_-])"
+)
+
+
+def _attrs_boiler(attrs) -> bool:
+    """True if the element's class/id marks it as boilerplate."""
+    if not attrs:
+        return False
+    vals = [v for (k, v) in attrs if k in ("class", "id") and v]
+    if not vals:
+        return False
+    return BOILER_HINT_RE.search(" ".join(vals).lower()) is not None
+
 # Small fixed multilingual stopword set for the stop-ratio feature.
 STOPWORDS = frozenset(
     """the a an and or of to in is are was were it this that for on with as
@@ -163,6 +190,7 @@ class _BlockCollector(HTMLParser):
         self.max_nodes = max_nodes
         self.nodes: List[Dict[str, Any]] = []
         self._stack: List[str] = []  # open elements (incl. inline)
+        self._boiler_flags: List[bool] = []  # lockstep with _stack
         self._skip_depth = 0  # >0 while inside SKIP_TAGS
         self._anchor_depth = 0  # >0 while inside <a>
         self._buf: List[str] = []  # raw text parts of current chunk
@@ -171,12 +199,38 @@ class _BlockCollector(HTMLParser):
         self._block_depth = 0
         self._block_container = ""
 
-    def _current_container(self) -> str:
-        """Innermost semantic sectioning ancestor on the open stack."""
-        for t in reversed(self._stack):
-            if t in SEMANTIC_CONTAINERS:
+    def _current_container(
+        self, extra_tag: str | None = None, extra_flag: bool = False
+    ) -> str:
+        """Innermost semantic sectioning ancestor on the open stack
+        (optionally with a not-yet-pushed element on top):
+
+          * class/id-flagged boilerplate wrappers count as 'aside';
+          * header/footer defer to an ENCLOSING article/main (HTML5
+            scoping: an article's own <header> belongs to the article,
+            only sectioning-root headers/footers are page furniture).
+        """
+        deferred = ""
+        if extra_tag is not None:
+            if extra_flag:
+                return "aside"
+            if extra_tag in ("header", "footer"):
+                deferred = extra_tag
+            elif extra_tag in SEMANTIC_CONTAINERS:
+                return extra_tag
+        stack, flags = self._stack, self._boiler_flags
+        for i in range(len(stack) - 1, -1, -1):
+            if flags[i]:
+                return deferred or "aside"
+            t = stack[i]
+            if t in ("header", "footer"):
+                if not deferred:
+                    deferred = t
+            elif t in ("article", "main"):
                 return t
-        return ""
+            elif t in SEMANTIC_CONTAINERS:  # aside / nav
+                return deferred or t
+        return deferred
 
     # -- node emission -------------------------------------------------
     def _flush(self) -> None:
@@ -218,7 +272,9 @@ class _BlockCollector(HTMLParser):
             self._skip_depth += 1
             if tag not in VOID_TAGS:
                 self._stack.append(tag)
+                self._boiler_flags.append(False)
             return
+        boiler = _attrs_boiler(attrs)
         if self._skip_depth == 0:
             if tag in MEDIA_TAGS:
                 self._flush()
@@ -229,15 +285,16 @@ class _BlockCollector(HTMLParser):
                 if tag not in ("br", "hr"):
                     self._block_tag = tag
                     self._block_depth = len(self._stack)
-                    # the block itself may BE a semantic container
-                    self._block_container = (
-                        tag if tag in SEMANTIC_CONTAINERS
-                        else self._current_container()
+                    # the block itself may BE a semantic container, or a
+                    # class/id-flagged boilerplate wrapper
+                    self._block_container = self._current_container(
+                        extra_tag=tag, extra_flag=boiler
                     )
             elif tag == "a":
                 self._anchor_depth += 1
         if tag not in VOID_TAGS:
             self._stack.append(tag)
+            self._boiler_flags.append(boiler)
 
     def handle_endtag(self, tag):
         if tag in VOID_TAGS:
@@ -246,6 +303,7 @@ class _BlockCollector(HTMLParser):
         if tag in self._stack:
             while self._stack:
                 top = self._stack.pop()
+                self._boiler_flags.pop()
                 if top in SKIP_TAGS:
                     self._skip_depth = max(0, self._skip_depth - 1)
                 elif top == "a":

@@ -9,7 +9,8 @@ equality test over the full synthetic corpus and the frozen goldens.
 
 Intentional simplifications vs html.parser (both sides see the parser
 selected by config, so Spark/oracle always agree):
-  * attributes are never materialized (the collector ignores them);
+  * only class/id attributes are materialized (the boilerplate class
+    hint is all the collector reads; other attributes are ignored);
   * a ``>`` inside a quoted attribute value terminates the tag early
     (html.parser scans quotes) — pathological; the collector tolerates
     the resulting junk data;
@@ -36,6 +37,25 @@ _TOKEN = re.compile(
 #: bookkeeping inside noscript/template/svg stays identical to v1
 _RAWTEXT = ("script", "style")
 
+#: class/id extraction from a raw attribute string — the only attributes
+#: the collector reads (boilerplate class hints, html_parse.BOILER_HINT_RE).
+#: \b keeps 'width=' from matching 'id='.
+_CLASS_ID = re.compile(
+    r"""\b(class|id)\s*=\s*("([^"]*)"|'([^']*)'|([^\s>"']+))""", re.I
+)
+
+
+def _class_id_attrs(raw: str):
+    """Minimal attrs list [(name, value), ...] with only class/id, the
+    values unquoted — same shape html.parser hands the collector."""
+    out = []
+    for m in _CLASS_ID.finditer(raw):
+        val = m.group(3) if m.group(3) is not None else (
+            m.group(4) if m.group(4) is not None else m.group(5)
+        )
+        out.append((m.group(1).lower(), val))
+    return out
+
 
 def feed_events(collector, html: str) -> None:
     """Drive a _BlockCollector with events tokenized from ``html``."""
@@ -60,10 +80,16 @@ def feed_events(collector, html: str) -> None:
             collector.handle_endtag(end_name.lower())
         elif start_name is not None:
             tag = start_name.lower()
+            attrs = (
+                _class_id_attrs(_attrs)
+                if _attrs and ("class" in _attrs or "id" in _attrs
+                               or "CLASS" in _attrs or "ID" in _attrs)
+                else []
+            )
             if selfclose:
-                collector.handle_startendtag(tag, [])
+                collector.handle_startendtag(tag, attrs)
             else:
-                collector.handle_starttag(tag, [])
+                collector.handle_starttag(tag, attrs)
                 if tag in _RAWTEXT:
                     # skip raw content to the matching close tag
                     if lower is None:

@@ -129,12 +129,19 @@ def with_spans(nodes: DataFrame, settings: ExtractSettings) -> DataFrame:
 
 def _not_pure_link():
     """Extraction guard (mirror: oracle.extract_document): a node inside a
-    span is emitted unless it is BOTH non-main and entirely link text —
-    the gap-merge bridges short interior runs for connectivity, and a
-    bridged fully-link node is an inline ad / related-links block, not
-    content.  Nodes the vote kept as main are always emitted."""
+    span is emitted unless it is non-main AND (entirely link text OR in a
+    boilerplate container) — the gap-merge bridges short interior runs
+    for connectivity, and a bridged fully-link node (inline ad /
+    related-links block) or a bridged boiler-container node (template
+    promo, share bar: html_parse class hints resolve those to 'aside')
+    is not content.  Nodes the vote kept as main are always emitted."""
+    from page_segmentation_spark.functions.scorer_core import (
+        BOILER_CONTAINERS,
+    )
+
     return (F.col("ind") == 1) | (
-        F.col("n_link_chars") < F.col("n_chars")
+        (F.col("n_link_chars") < F.col("n_chars"))
+        & ~F.col("container").isin(*sorted(BOILER_CONTAINERS))
     )
 
 

@@ -237,11 +237,15 @@ def extract_document(
         for k in range(s, e + 1):
             nk = nodes[k]
             # mirror of operators/spans._not_pure_link: a bridged interior
-            # node that is non-main AND entirely link text is an inline
-            # ad / related-links block — not content
+            # node that is non-main AND (entirely link text OR inside a
+            # boilerplate container) is an inline ad / template promo /
+            # related-links block — not content
             if nk["is_fg"] and (
                 preds[k] == CLS_MAIN
-                or nk["n_link_chars"] < nk["n_chars"]
+                or (
+                    nk["n_link_chars"] < nk["n_chars"]
+                    and nk["container"] not in sc.BOILER_CONTAINERS
+                )
             ):
                 texts.append(nk["text"])
     return {

@@ -1229,6 +1229,7 @@ def w3_xycut_segments(spark, sf_dir):
         F.lit("p").alias("tag"),
         F.lit(10).cast("long").alias("n_chars"),
         F.lit(0).cast("long").alias("n_link_chars"),
+        F.lit("").alias("container"),
     )
     from page_segmentation_spark.config import CLS_MAIN  # noqa: F401
 

@@ -1,0 +1,109 @@
+"""Optional Iceberg runtime validation (VERDICT r2 item 6).
+
+The Iceberg writer branch (sources/sinks.py) is config-complete but the
+sandbox has no Iceberg runtime jars and no network to fetch them.  This
+test upgrades it to runtime-verified WHEN jars are available: set
+
+    PSS_ICEBERG_PACKAGES=org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.8.0
+
+(or any compatible coordinate; needs network or a populated ivy cache),
+or point PSS_ICEBERG_JARS at local runtime jars.  Without either, the
+test skips cleanly.
+
+It runs a REAL spark-submit subprocess (fresh JVM — Iceberg extensions
+cannot be injected into the session-scoped test JVM) that:
+  * writes the results table via sinks.write_results(format='iceberg'),
+  * reads it back via sinks.read_results and checks the round trip,
+  * keys plans.checkpoint.input_fingerprint to the table snapshot id and
+    asserts an append CHANGES the fingerprint (checkpoint-vs-snapshot
+    end-to-end).
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_PACKAGES = os.environ.get("PSS_ICEBERG_PACKAGES", "")
+_JARS = os.environ.get("PSS_ICEBERG_JARS", "")
+
+pytestmark = pytest.mark.skipif(
+    not (_PACKAGES or _JARS),
+    reason="Iceberg runtime not available: set PSS_ICEBERG_PACKAGES "
+    "(maven coordinates) or PSS_ICEBERG_JARS (local jar paths)",
+)
+
+_JOB = textwrap.dedent(
+    """
+    import sys
+    from pyspark.sql import SparkSession
+
+    warehouse = sys.argv[1]
+    spark = SparkSession.builder.getOrCreate()
+    # package imported AFTER session creation: comes from --py-files
+    from page_segmentation_spark.datagen import pages_df
+    from page_segmentation_spark.plans.extract import extract
+    from page_segmentation_spark.plans.checkpoint import input_fingerprint
+    from page_segmentation_spark.sources.sinks import (
+        read_results, write_results,
+    )
+
+    results = extract(pages_df(spark, 20, partitions=2)).select(
+        "url", "extracted_text", "spans", "n_nodes"
+    )
+    write_results(
+        results, format="iceberg", table="lake.db.results", mode="create"
+    )
+    back = read_results(spark, format="iceberg", table="lake.db.results")
+    assert back.count() == 20, back.count()
+    assert set(c for c in back.columns) >= {"url", "extracted_text", "bucket"}
+    fp1 = input_fingerprint(spark, "lake.db.results", format="iceberg")
+    assert fp1.startswith("iceberg-snapshot-"), fp1
+    write_results(
+        results, format="iceberg", table="lake.db.results", mode="append"
+    )
+    fp2 = input_fingerprint(spark, "lake.db.results", format="iceberg")
+    assert fp2 != fp1, (fp1, fp2)
+    back2 = read_results(spark, format="iceberg", table="lake.db.results")
+    assert back2.count() == 40
+    print("ICEBERG_ROUNDTRIP_OK")
+    """
+)
+
+
+def test_iceberg_write_read_snapshot_fingerprint(tmp_path):
+    from page_segmentation_spark.packaging import make_pyfiles_zip
+
+    job = tmp_path / "iceberg_job.py"
+    job.write_text(_JOB)
+    warehouse = str(tmp_path / "warehouse")
+    pyz = make_pyfiles_zip(str(tmp_path / "pkg.zip"))
+    spark_submit = os.path.join(
+        os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit"
+    )
+    cmd = [
+        spark_submit,
+        "--master", "local[4]",
+        "--py-files", pyz,
+        "--conf",
+        "spark.sql.extensions="
+        "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        "--conf",
+        "spark.sql.catalog.lake=org.apache.iceberg.spark.SparkCatalog",
+        "--conf", "spark.sql.catalog.lake.type=hadoop",
+        "--conf", f"spark.sql.catalog.lake.warehouse={warehouse}",
+    ]
+    if _PACKAGES:
+        cmd += ["--packages", _PACKAGES]
+    if _JARS:
+        cmd += ["--jars", _JARS]
+    cmd += [str(job), warehouse]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=600,
+        env={**os.environ, "PYSPARK_PYTHON": sys.executable},
+    )
+    assert "ICEBERG_ROUNDTRIP_OK" in proc.stdout, (
+        proc.stdout[-2000:] + "\n" + proc.stderr[-2000:]
+    )

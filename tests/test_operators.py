@@ -14,8 +14,10 @@ def _nodes_df(spark, rows):
         [("u1", i, t, fg, p) for (i, t, fg, p) in rows],
         "url string, node_idx long, tag string, is_fg boolean, pred_raw int",
     )
-    return df.withColumn("n_chars", F.lit(10).cast("long")).withColumn(
-        "n_link_chars", F.lit(0).cast("long")
+    return (
+        df.withColumn("n_chars", F.lit(10).cast("long"))
+        .withColumn("n_link_chars", F.lit(0).cast("long"))
+        .withColumn("container", F.lit(""))
     )
 
 

@@ -19,6 +19,7 @@ def _df(spark, preds, char_med=50.0):
         .withColumn("n_nodes", F.lit(len(preds)).cast("long"))
         .withColumn("n_chars", F.lit(10).cast("long"))
         .withColumn("n_link_chars", F.lit(0).cast("long"))
+        .withColumn("container", F.lit(""))
     )
 
 

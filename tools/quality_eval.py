@@ -43,6 +43,34 @@ def gt_main_texts(doc_id: int, seed: int = 42) -> list[str]:
     return [" ".join(t.split()) for t in texts if t.strip()]
 
 
+def hostile_shape_metrics(n_per_shape: int = 40) -> dict:
+    """Per-shape recall/leakage over the adversarial fixtures
+    (datagen.hostile_page): comment threads, template promos, split
+    articles, link-dense prose.  GT and boiler probes come from the
+    generator itself, so no regex re-derivation is needed."""
+    out = {}
+    for shape in dg.HOSTILE_SHAPES:
+        tp = fn = leaks = nprobe = 0
+        for i in range(n_per_shape):
+            row = dg.hostile_page(shape, i)
+            ext = extract_document(row["html"])["extracted_text"]
+            for g in row["gt_main"]:
+                if g in ext:
+                    tp += 1
+                else:
+                    fn += 1
+            for b in row["boiler_probe"]:
+                nprobe += 1
+                if b in ext:
+                    leaks += 1
+        out[shape] = {
+            "recall": round(tp / max(1, tp + fn), 4),
+            "leaked_probes": leaks,
+            "total_probes": nprobe,
+        }
+    return out
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 170
     tp = fn = n_eval = boiler_only_leak = 0
@@ -69,6 +97,7 @@ def main() -> None:
                 "gt_paragraph_recall": round(tp / max(1, tp + fn), 4),
                 "leak_doc_counts": dict(leaks),
                 "boiler_only_docs_leaking": boiler_only_leak,
+                "hostile_shapes": hostile_shape_metrics(),
             }
         )
     )
