@@ -149,7 +149,10 @@ def gen_pages(n: int, seed: int = 42, start: int = 0) -> Iterator[Dict[str, obje
 # the pinned regression test (tests/test_quality_shapes.py).  Kept OUT of
 # make_page so frozen goldens and the flagship oracle fixture stay stable.
 
-HOSTILE_SHAPES = ("comments", "template", "split_article", "link_dense")
+HOSTILE_SHAPES = (
+    "comments", "template", "split_article", "link_dense",
+    "cookie_banner", "pagination", "span_soup", "table_layout",
+)
 
 
 def hostile_page(shape: str, doc_id: int, seed: int = 42) -> Dict[str, object]:
@@ -170,6 +173,16 @@ def hostile_page(shape: str, doc_id: int, seed: int = 42) -> Dict[str, object]:
       * link_dense    — legitimate prose where every paragraph carries
                         several inline citation links: high link density
                         on REAL content (recall stress)
+      * cookie_banner — a consent overlay with substantial legalese at
+                        the top of the page (class-hinted wrapper)
+      * pagination    — article followed by a "Previous 1 2 ... Next"
+                        page-link block in bare divs
+      * span_soup     — article body built from inline <span>s inside
+                        one <div> (no <p> block structure at all):
+                        recall must survive missing block tags
+      * table_layout  — 1990s table-based layout: prose lives in one
+                        <td>, nav links in sibling <td>s, no semantic
+                        containers anywhere
     """
     if shape not in HOSTILE_SHAPES:
         raise ValueError(f"shape must be one of {HOSTILE_SHAPES}")
@@ -229,7 +242,7 @@ def hostile_page(shape: str, doc_id: int, seed: int = 42) -> Dict[str, object]:
             + "".join(f"<p>{p}</p>" for p in paras[half:])
             + "</article>"
         )
-    else:  # link_dense
+    elif shape == "link_dense":
         art = [f"<h1>{title}</h1>"]
         for p in paras:
             toks = p.split()
@@ -239,6 +252,73 @@ def hostile_page(shape: str, doc_id: int, seed: int = 42) -> Dict[str, object]:
             art.append(f"<p>{' '.join(toks)}</p>")
             gt_main.append(" ".join(p.split()))
         body.append("<article>" + "".join(art) + "</article>")
+    elif shape == "cookie_banner":
+        legalese = (
+            "We and our 842 partners use cookies and similar technologies "
+            "to store and access information on your device, process "
+            "personal data and measure advertising performance. You can "
+            "accept all or manage your preferences at any time from the "
+            "privacy dashboard."
+        )
+        boiler_probe.append("842 partners")
+        body.insert(0, f'<div class="cookie-consent"><p>{legalese}</p>'
+                       '<button>Accept all</button></div>')
+        art = [f"<h1>{title}</h1>"] + [f"<p>{p}</p>" for p in paras]
+        gt_main += [" ".join(p.split()) for p in paras]
+        body.append("<article>" + "".join(art) + "</article>")
+    elif shape == "pagination":
+        art = [f"<h1>{title}</h1>"] + [f"<p>{p}</p>" for p in paras]
+        gt_main += [" ".join(p.split()) for p in paras]
+        body.append("<article>" + "".join(art) + "</article>")
+        pages_links = " ".join(
+            f'<a href="/page/{k}">{k}</a>' for k in range(1, 9)
+        )
+        boiler_probe.append("Previous")
+        boiler_probe.append("Next page")
+        body.append(
+            f'<div class="pagination"><a href="/p">Previous</a> '
+            f'{pages_links} <a href="/n">Next page</a></div>'
+        )
+    elif shape == "span_soup":
+        # no <p> at all: sentences in inline <span>s inside one <div>
+        spans_html = "".join(f"<span>{p} </span>" for p in paras)
+        gt = " ".join(" ".join(p.split()) for p in paras)
+        gt_main += [gt]
+        body.append(
+            "<article>"
+            + f"<h1>{title}</h1><div>{spans_html}</div>"
+            + "</article>"
+        )
+    else:  # table_layout
+        nav_cell = "".join(
+            f'<a href="/{x.lower()}">{x}</a> ' for x in _NAV_ITEMS[:5]
+        )
+        prose = "".join(f"<p>{p}</p>" for p in paras)
+        gt_main += [" ".join(p.split()) for p in paras]
+        ad = rng.choice(_AD_TEXTS)
+        boiler_probe.append(ad)
+        body = [  # replace the default header entirely: no semantics
+            "<table><tr>",
+            f"<td>{nav_cell}</td>",
+            f"<td><h1>{title}</h1>{prose}</td>",
+            f"<td>{ad}</td>",
+            "</tr></table>",
+        ]
+        html = (
+            "<!DOCTYPE html><html><head><title>Hostile %s %d</title>"
+            "</head><body>%s</body></html>"
+            % (shape, doc_id, "".join(body))
+        )
+        ts = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=doc_id % 31_536_000)
+        return {
+            "url": f"https://hostile.test/{shape}/{doc_id}",
+            "warc_ts": ts,
+            "html": html.encode("utf-8"),
+            "text": " ".join(gt_main),
+            "lang": "en",
+            "gt_main": gt_main,
+            "boiler_probe": boiler_probe,
+        }
     body.append(_sidebar(rng, words))
     body.append(_footer(rng))
 
@@ -256,6 +336,44 @@ def hostile_page(shape: str, doc_id: int, seed: int = 42) -> Dict[str, object]:
         "lang": "en",
         "gt_main": gt_main,
         "boiler_probe": boiler_probe,
+    }
+
+
+#: charset fixtures: (codec label to declare, text with chars OUTSIDE
+#: ASCII that round-trip in that codec).  A hard UTF-8 decode mangles
+#: every one of these into replacement chars.
+CHARSET_CASES = {
+    "windows-1252": "Smart “quotes” and a café — naïve résumé",
+    "iso-8859-1": "Bücher über Straße und Größe",  # WHATWG: cp1252 superset
+    "shift_jis": "日本語のテキストです",
+    "gb2312": "这是中文网页内容",
+    "utf-8": "Mixed ünïcödé content — 中文 and русский",
+}
+
+
+def make_charset_page(codec: str, doc_id: int = 0) -> Dict[str, object]:
+    """One page whose bytes are encoded in ``codec`` with a matching
+    <meta charset> declaration; ``gt_main`` is the correctly-decoded
+    article text the extractor must reproduce."""
+    text = CHARSET_CASES[codec]
+    para = f"Article body paragraph number {doc_id} follows. {text}"
+    html = (
+        f'<!DOCTYPE html><html><head><meta charset="{codec}">'
+        f"<title>c</title></head><body><header><nav><ul>"
+        f'<li><a href="/">Home</a></li><li><a href="/a">About</a></li>'
+        f"</ul></nav></header><article><h1>Heading {doc_id}</h1>"
+        f"<p>{para}</p><p>{para}</p></article>"
+        f'<footer><p>(c) 2024 <a href="/t">terms</a></p></footer>'
+        f"</body></html>"
+    )
+    ts = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=doc_id)
+    return {
+        "url": f"https://charset.test/{codec}/{doc_id}",
+        "warc_ts": ts,
+        "html": html.encode(codec),
+        "text": para,
+        "lang": "en",
+        "gt_main": [para],
     }
 
 

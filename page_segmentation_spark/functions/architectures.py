@@ -18,6 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Dict, List
 
+from page_segmentation_spark.config import CLS_MAIN
 from page_segmentation_spark.functions import scorer_core as sc
 
 
@@ -58,8 +59,32 @@ WIDE_CONTEXT = Arch(
     directional_radius=4,
 )
 
+#: tighter windows: local ±1, section ±4, directional ±2 — the "shallow
+#: encoder": reacts immediately at content/boilerplate borders, best on
+#: short chatty pages where ±8 smoothing bleeds across regions.
+LOCAL_FINE = Arch(
+    name="local_fine",
+    weights=sc.WEIGHTS,
+    bias=sc.BIAS,
+    local_radius=1,
+    section_radius=4,
+    directional_radius=2,
+)
+
+#: precision-oriented head: base windows, but the main-class bias drops
+#: from -0.4 to -1.2 — borderline nodes (short paragraphs, captions near
+#: link blocks) fall to boilerplate.  For training-data curation where a
+#: false-positive boilerplate sentence in the corpus costs more than a
+#: dropped caption.  Weight rows are shared; only the bias literal moves,
+#: so the byte-identity fold is unchanged in shape.
+PRECISION = Arch(
+    name="precision",
+    weights=sc.WEIGHTS,
+    bias={**sc.BIAS, CLS_MAIN: -1.2},
+)
+
 ARCHITECTURES: Dict[str, Arch] = {
-    a.name: a for a in (BASE, WIDE_CONTEXT)
+    a.name: a for a in (BASE, WIDE_CONTEXT, LOCAL_FINE, PRECISION)
 }
 
 

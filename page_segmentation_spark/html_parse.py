@@ -341,17 +341,68 @@ import os as _os
 PARSER_BACKEND = _os.environ.get("PSS_PARSER_BACKEND", "tokenizer")
 
 
+# -- charset sniffing (deterministic, shared by oracle and Spark) -------
+#
+# Real-crawl pages declare their encoding in <meta charset=...> or
+# <meta http-equiv="Content-Type" content="...; charset=...">; hard
+# UTF-8 decoding mangles windows-1252/shift-jis/gb2312 pages into
+# replacement-char soup.  WHATWG-style sniff: BOM wins, then the first
+# meta declaration inside the head window, then UTF-8.  All decodes use
+# errors='replace', so malformed bytes are still deterministic.
+
+_SNIFF_WINDOW = 2048
+_META_CHARSET = _re.compile(
+    rb"""<meta[^>]+?(?:charset\s*=\s*["']?\s*([a-zA-Z0-9_.:-]+)"""
+    rb"""|content\s*=\s*["'][^"']*?charset=([a-zA-Z0-9_.:-]+))""",
+    _re.I,
+)
+#: WHATWG maps these labels away from their IANA meaning; everything
+#: else goes through Python's codec alias table.
+_CHARSET_OVERRIDES = {
+    "iso-8859-1": "windows-1252",  # WHATWG: latin-1 label means cp1252
+    "latin-1": "windows-1252",
+    "latin1": "windows-1252",
+    "ascii": "windows-1252",
+    "us-ascii": "windows-1252",
+    "utf8": "utf-8",
+}
+
+
+def sniff_charset(raw: bytes) -> str:
+    """Codec name for one page's bytes: BOM > meta declaration > utf-8."""
+    if raw[:3] == b"\xef\xbb\xbf":
+        return "utf-8"
+    if raw[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+    m = _META_CHARSET.search(raw[:_SNIFF_WINDOW])
+    if m:
+        label = (m.group(1) or m.group(2)).decode("ascii").lower().strip()
+        codec = _CHARSET_OVERRIDES.get(label, label)
+        try:
+            b"x".decode(codec)
+        except (LookupError, UnicodeDecodeError):
+            return "utf-8"
+        return codec
+    return "utf-8"
+
+
+def decode_page_bytes(raw: bytes) -> str:
+    """Shared byte->str front door (oracle and Spark parse stage)."""
+    return raw.decode(sniff_charset(raw), errors="replace")
+
+
 def parse_html(
     html: bytes | str, max_nodes: int = 50_000, backend: str | None = None
 ) -> List[Dict[str, Any]]:
     """Parse one page into ordered node records.
 
-    bytes are decoded as UTF-8 with replacement (deterministic); the
+    bytes are decoded via :func:`sniff_charset` (BOM / meta declaration /
+    UTF-8 fallback, always errors='replace' — deterministic); the
     max_nodes cap is the giant-page guard (reference lib/dataset.py:139-143
     ``max_width`` analog) so one url always fits one Spark task.
     """
     if isinstance(html, (bytes, bytearray)):
-        html = bytes(html).decode("utf-8", errors="replace")
+        html = decode_page_bytes(bytes(html))
     collector = _BlockCollector(max_nodes=max_nodes)
     try:
         if (backend or PARSER_BACKEND) == "tokenizer":

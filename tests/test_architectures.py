@@ -65,6 +65,41 @@ def test_architectures_genuinely_differ():
     assert a != b
 
 
+def test_registry_has_all_named_architectures():
+    assert set(ARCHITECTURES) == {
+        "base", "wide_context", "local_fine", "precision"
+    }
+    assert find_architecture("local_fine").section_radius == 4
+    assert find_architecture("precision").bias[1] == -1.2
+
+
+def test_local_fine_differs_on_adversarial_layout():
+    """±4 section smoothing reacts differently at the link-block border
+    than base ±8 (same head, narrower pyramid)."""
+    h = _sandwich_page()
+    a = extract_document(h)["extracted_text"]
+    f = extract_document(
+        h, ExtractSettings(architecture="local_fine")
+    )["extracted_text"]
+    assert a != f
+
+
+def test_precision_arch_is_strictly_stricter():
+    """The -1.2 main bias can only DROP nodes relative to base (same
+    weights, lower main logit): extraction is never longer, and on the
+    borderline sandwich page it is strictly shorter."""
+    prec = ExtractSettings(architecture="precision")
+    for i in range(40):
+        h = make_page(i)["html"]
+        assert len(extract_document(h, prec)["extracted_text"]) <= len(
+            extract_document(h)["extracted_text"]
+        )
+    h = _sandwich_page()
+    assert len(extract_document(h, prec)["extracted_text"]) < len(
+        extract_document(h)["extracted_text"]
+    )
+
+
 def test_wide_arch_byte_identity(spark):
     """Spark pipeline == oracle byte-for-byte under the non-default
     architecture (the invariant is per-architecture)."""
