@@ -1,0 +1,133 @@
+"""WARC ingestion source (sources/warc.py): pure parser round-trips,
+Spark read path, and crawl-to-extraction end-to-end byte identity."""
+
+import glob
+import gzip
+import os
+
+from pyspark.sql import functions as F
+
+from page_segmentation_spark.datagen import make_page
+from page_segmentation_spark.oracle import extract_document
+from page_segmentation_spark.plans.extract import extract
+from page_segmentation_spark.sources.warc import (
+    build_warc,
+    parse_warc_bytes,
+    read_warc,
+)
+
+TS = "2024-01-01T00:00:00Z"
+
+
+def _recs(n, start=0):
+    return [
+        {"url": f"https://w.test/{i}", "ts": TS, "body": make_page(i)["html"]}
+        for i in range(start, start + n)
+    ]
+
+
+def test_roundtrip_per_record_gzip():
+    recs = _recs(5)
+    out = list(parse_warc_bytes(build_warc(recs, per_record_gzip=True)))
+    assert [r["url"] for r in out] == [r["url"] for r in recs]
+    assert [r["html"] for r in out] == [r["body"] for r in recs]
+    assert all(r["http_status"] == 200 for r in out)
+    assert all(r["rec_type"] == "response" for r in out)
+
+
+def test_roundtrip_plain():
+    recs = _recs(3)
+    out = list(parse_warc_bytes(build_warc(recs, per_record_gzip=False)))
+    assert [r["html"] for r in out] == [r["body"] for r in recs]
+
+
+def test_gzip_layout_is_member_per_record():
+    """Common-Crawl layout: every record is its own gzip member, so any
+    member boundary is a resume point."""
+    recs = _recs(3)
+    data = build_warc(recs, per_record_gzip=True)
+    # each member starts with the gzip magic; count them
+    assert data.count(b"\x1f\x8b\x08") >= 3
+    # dropping the first member still parses the remaining records
+    one = len(
+        gzip.decompress(data[: data.index(b"\x1f\x8b\x08", 3)])
+    )  # noqa: F841 — member boundary sanity
+    second = data.index(b"\x1f\x8b\x08", 3)
+    rest = list(parse_warc_bytes(data[second:]))
+    assert [r["url"] for r in rest] == [r["url"] for r in recs[1:]]
+
+
+def test_non_content_records_skipped():
+    info = {
+        "url": "", "ts": TS, "rec_type": "warcinfo",
+        "body": b"software: test\r\n",
+    }
+    recs = [info] + _recs(2)
+    out = list(parse_warc_bytes(build_warc(recs)))
+    assert [r["url"] for r in out] == ["https://w.test/0", "https://w.test/1"]
+
+
+def test_trailing_dirt_degrades_gracefully():
+    data = build_warc(_recs(2), per_record_gzip=False) + b"GARBAGE NOT WARC"
+    out = list(parse_warc_bytes(data))
+    assert len(out) == 2
+
+
+def test_malformed_content_length_stops_cleanly():
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x/\r\nWARC-Date: " + TS.encode()
+        + b"\r\nContent-Length: NaN\r\n\r\nhttp"
+    )
+    assert list(parse_warc_bytes(raw)) == []
+
+
+def test_read_warc_spark(spark, tmp_path):
+    d = str(tmp_path / "warcs")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.warc.gz"), "wb") as f:
+        f.write(build_warc(_recs(4)))
+    with open(os.path.join(d, "b.warc"), "wb") as f:
+        f.write(build_warc(_recs(3, start=4), per_record_gzip=False))
+    df = read_warc(spark, d)
+    rows = {r["url"]: r for r in df.collect()}
+    assert len(rows) == 7
+    r = rows["https://w.test/2"]
+    assert bytes(r["html"]) == make_page(2)["html"]
+    assert str(r["warc_ts"]).startswith("2024-01-01")
+    assert r["http_status"] == 200
+    assert r["warc_file"].endswith(("a.warc.gz", "b.warc"))
+    # plan shape: binaryFile scan -> Arrow kernel, no shuffle
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_crawl_to_extraction_byte_identity(spark, tmp_path):
+    """read_warc -> extract must equal the single-node oracle on the same
+    HTML bytes — the full crawl-in path."""
+    n = 12
+    p = str(tmp_path / "cc.warc.gz")
+    with open(p, "wb") as f:
+        f.write(
+            build_warc(
+                [
+                    {
+                        "url": make_page(i)["url"],
+                        "ts": TS,
+                        "body": make_page(i)["html"],
+                    }
+                    for i in range(n)
+                ]
+            )
+        )
+    pages = read_warc(spark, p).select(
+        "url", "warc_ts", "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    got = {r["url"]: r for r in extract(pages).collect()}
+    assert len(got) == n
+    for i in range(n):
+        page = make_page(i)
+        o = extract_document(page["html"])
+        assert got[page["url"]]["extracted_text"] == o["extracted_text"], i
