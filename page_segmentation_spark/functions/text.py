@@ -92,6 +92,78 @@ def fingerprint(text: Column) -> Column:
     return F.substring(F.md5(norm), 1, 16)
 
 
+#: PII patterns — portable between Java regex (Spark) and RE2 (DuckDB):
+#: no backreferences, no lookaround, classes + bounded quantifiers only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9() -]{6,}[0-9]"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Mask emails then phone-number-shaped digit runs (<EMAIL>/<PHONE>).
+    Email first: once masked, its digits can no longer feed a partial
+    phone match.  Pure JVM regexp — linear scan, no UDF."""
+    t = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(t, PHONE_RE, "<PHONE>")
+
+
+def pii_count(text: Column, pattern: str) -> Column:
+    """Number of matches (regexp_extract_all has an exact DuckDB twin;
+    regexp_count does not exist there)."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("long")
+
+
+def repetition_signals(
+    df, id_col: str, text_col: str, extra_cols: tuple[str, ...] = ()
+):
+    """Gopher-style repetition quality signals, per document:
+
+      * ``top_word_frac`` — occurrences of the most frequent word over
+        total words (high => boilerplate/keyword stuffing);
+      * ``dup_2gram_frac`` — fraction of word 2-grams that are repeats
+        of an earlier 2-gram in the same document.
+
+    Scale shape: the word-mode needs per-(doc, word) counts — explode ->
+    two hash aggregations keyed by the doc id (linear, map-side partial
+    agg applies; NO quadratic expression-level mode computation, which
+    would be O(distinct_words x words) per row on real documents).  The
+    2-gram signal is pure per-row array math (zero shuffle), computed in
+    the same pass as the first aggregation.  First-max ties in the word
+    mode are count-only (no word tie-break needed: max of counts).
+    """
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    words = F.split(norm, " ")
+    n_words = F.size(words)
+    # distinct 2-grams via the shared shingle builder (slice-based — safe
+    # under ANSI mode, no element_at out-of-bounds)
+    from page_segmentation_spark.operators.dedup import word_shingles
+
+    n_grams = F.greatest(n_words - 1, F.lit(0))
+    n_distinct = F.size(word_shingles(F.col(text_col), 2))
+    dup_frac = F.when(
+        n_grams > 0,
+        F.round(1.0 - n_distinct / n_grams.cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.explode(words).alias("word"),
+        dup_frac.alias("dup_2gram_frac"),
+    )
+    counts = base.groupBy(id_col, *extra_cols, "dup_2gram_frac", "word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.groupBy(id_col, *extra_cols, "dup_2gram_frac").agg(
+        F.round(
+            F.max("cnt") / F.sum("cnt").cast("double"), 6
+        ).alias("top_word_frac")
+    ).select(
+        id_col, *extra_cols, "top_word_frac", "dup_2gram_frac"
+    )
+
+
 # ---- DuckDB-SQL twins (used by __spark_entry__.oracle_sql) -------------
 
 def marker_count_sql(col: str, word: str) -> str:

@@ -300,3 +300,63 @@ def lsh_verified_pairs(
     return out.where(jac >= threshold).select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )
+
+
+def word_chunks(text: Column, k: int) -> Column:
+    """Ordered non-overlapping k-word chunks of the normalized text (the
+    paragraph stand-in when input carries no line structure: CCNet hashes
+    paragraphs; a fixed-k chunking is the same hash-unit idea for
+    unstructured text).  ceil(n_words / k) chunks; the last may be short."""
+    words = F.split(normalized(text), " ")
+    n_chunks = F.floor((F.size(words) + (k - 1)) / F.lit(k)).cast("int")
+    idxs = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    return F.transform(
+        idxs, lambda i: F.array_join(F.slice(words, i * k + 1, k), " ")
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    paras_col: Column,
+    max_dup: int = 1,
+    separator: str = " ",
+) -> DataFrame:
+    """CCNet-style corpus-level paragraph-hash dedup: drop every
+    paragraph whose exact content occurs more than ``max_dup`` times
+    across the WHOLE corpus, then reconstruct each document's text from
+    the kept paragraphs in original order.
+
+    Returns (id, clean_text, n_kept, n_removed); documents whose every
+    paragraph is dropped keep a row with clean_text = ''.
+
+    Scale shape (the CCNet recipe at 10^12 docs): posexplode ->
+    hash-aggregate paragraph frequencies (one shuffle keyed by the
+    paragraph hash, map-side partial agg) -> hash equi-join exploded
+    paragraphs back to their frequency (same key, AQE can co-plan) ->
+    one groupBy(id) with array_sort(collect_list(struct(pos, ...)))
+    reconstruction (deterministic order per determinism rule #3).  No
+    step is quadratic; the frequency table is |distinct paragraphs|.
+    Joining on the md5 (not the paragraph text) keeps shuffle rows
+    narrow; md5 collisions merging distinct paragraphs are the standard
+    accepted risk (2^-128) — CCNet itself dedups on hashes.
+    """
+    ex = df.select(
+        F.col(id_col), F.posexplode(paras_col).alias("pos", "para")
+    ).withColumn("para_hash", F.md5(F.col("para")))
+    freq = ex.groupBy("para_hash").agg(F.count(F.lit(1)).alias("n_occ"))
+    marked = ex.join(freq, "para_hash").withColumn(
+        "kept", F.col("n_occ") <= max_dup
+    )
+    kept_struct = F.when(F.col("kept"), F.struct("pos", "para"))
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x.getField("para"),
+            ),
+            separator,
+        ).alias("clean_text"),
+        F.count(F.when(F.col("kept"), F.lit(1))).alias("n_kept"),
+        F.count(F.when(~F.col("kept"), F.lit(1))).alias("n_removed"),
+    )

@@ -948,6 +948,121 @@ def text_fingerprint(spark, sf_dir):
     ).groupBy("source").agg(F.countDistinct("fp").alias("n_distinct"))
 
 
+@_q(
+    "text_repetition",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ), wx AS (
+      SELECT doc_id, unnest(words) AS word FROM w
+    ), c AS (
+      SELECT doc_id, word, count(*) AS cnt FROM wx GROUP BY 1, 2
+    ), m AS (
+      SELECT doc_id,
+             round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 6) AS top_word_frac
+      FROM c GROUP BY doc_id
+    ), g AS (
+      SELECT doc_id,
+        CASE WHEN len(words) >= 2 THEN
+          round(1.0 - len(list_distinct(list_transform(
+                    range(1, len(words)),
+                    i -> words[i] || ' ' || words[i + 1])))
+                / CAST(len(words) - 1 AS DOUBLE), 6)
+        ELSE 0.0 END AS dup_2gram_frac
+      FROM w
+    )
+    SELECT m.doc_id, top_word_frac, dup_2gram_frac
+    FROM m JOIN g ON m.doc_id = g.doc_id
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals: per-doc top-word fraction
+    (explode -> two hash aggs, the linear scale shape) + duplicate
+    2-gram fraction (per-row array math, zero extra shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    return T.repetition_signals(d, "doc_id", "text")
+
+
+# deterministic PII salting shared by both engines: two thirds of the
+# docs get an email + phone appended so the scrubber sees real matches
+# AND real zero-match rows (the fixture corpus itself carries no PII).
+_PII_SALT_SQL = (
+    "CASE WHEN doc_id % 3 <> 2 THEN text || ' Contact user' "
+    "|| CAST(doc_id AS VARCHAR) || '@mail.example.com or call "
+    "+1 (555) 010-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' now.' "
+    "ELSE text END"
+)
+
+
+@_q(
+    "text_pii_scrub",
+    f"""
+    WITH s AS (SELECT doc_id, {_PII_SALT_SQL} AS t FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '{T.EMAIL_RE}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(t, '{T.PHONE_RE}')) AS BIGINT) AS n_phones,
+      md5(regexp_replace(regexp_replace(t, '{T.EMAIL_RE}', '<EMAIL>', 'g'),
+                         '{T.PHONE_RE}', '<PHONE>', 'g')) AS scrub_hash
+    FROM s
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII masking (emails then phone-shaped digit runs) — pure JVM
+    regexp, patterns portable between Java regex and RE2.  Counted via
+    regexp_extract_all (exact DuckDB twin); hash proves byte-equal
+    scrubbed output."""
+    d = _t(spark, sf_dir, "documents")
+    salted = F.when(
+        F.col("doc_id") % 3 != 2,
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or call +1 (555) 010-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+            F.lit(" now."),
+        ),
+    ).otherwise(F.col("text"))
+    return d.select(
+        "doc_id",
+        T.pii_count(salted, T.EMAIL_RE).alias("n_emails"),
+        T.pii_count(salted, T.PHONE_RE).alias("n_phones"),
+        F.md5(T.scrub_pii(salted)).alias("scrub_hash"),
+    )
+
+
+@_q(
+    "dedup_paragraphs",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ), ch AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(list_slice(words, 1 + 3 * i, 3 * i + 3), ' ')
+               AS para
+      FROM w, unnest(range(0, greatest((len(words) + 2) // 3, 1))) AS t(i)
+    ), fr AS (
+      SELECT para, count(*) AS n_occ FROM ch GROUP BY 1
+    )
+    SELECT doc_id,
+      coalesce(string_agg(CASE WHEN n_occ <= 1 THEN para END,
+                          ' ' ORDER BY pos), '') AS clean_text,
+      CAST(count(CASE WHEN n_occ <= 1 THEN 1 END) AS BIGINT) AS n_kept,
+      CAST(count(CASE WHEN n_occ > 1 THEN 1 END) AS BIGINT) AS n_removed
+    FROM ch JOIN fr USING (para)
+    GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs(spark, sf_dir):
+    """CCNet-style corpus-level paragraph-hash dedup over 3-word chunks
+    (the paragraph stand-in for the line-structure-free fixture text);
+    order-preserving reconstruction via array_sort(collect_list(struct))."""
+    d = _t(spark, sf_dir, "documents")
+    return D.paragraph_dedup(
+        d, "doc_id", D.word_chunks(F.col("text"), 3), max_dup=1
+    )
+
+
 # ---------------------------------------------------------------- flagship
 
 # fixed filler sentence appended to both fixture paragraphs (see below)

@@ -402,3 +402,94 @@ def test_widen_channels_and_remap(spark):
     out = remap_to_original(orig, coarse, stride=2)
     got = {r["node_idx"]: r["pred"] for r in out.collect()}
     assert got == {0: 10, 1: 10, 2: 20, 3: 20, 4: 30, 5: 30}
+
+
+# ------------------------------------------------- paragraph dedup / PII
+
+
+def test_paragraph_dedup_newline_paragraphs(spark):
+    """Real CCNet case: newline-delimited paragraphs, the shared footer
+    paragraph is dropped everywhere, unique prose survives in order."""
+    boiler = "subscribe to our newsletter"
+    docs = [
+        (1, f"alpha beta gamma\n{boiler}\ndelta epsilon"),
+        (2, f"{boiler}\nzeta eta theta"),
+        (3, "iota kappa lambda\nmu nu xi"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in D.paragraph_dedup(
+            df, "doc_id", F.split(F.col("text"), "\n"), max_dup=1,
+            separator="\n",
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta gamma\ndelta epsilon"
+    assert out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "zeta eta theta"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == "iota kappa lambda\nmu nu xi"
+
+
+def test_paragraph_dedup_all_dropped_keeps_row(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.paragraph_dedup(
+            df, "doc_id", F.array(F.col("text")), max_dup=1
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "" and out[1]["n_kept"] == 0
+    assert out[2]["n_removed"] == 1
+
+
+def test_word_chunks_cover_text_in_order(spark):
+    df = spark.createDataFrame([("a b c d e f g",)], "text string")
+    row = df.select(
+        D.word_chunks(F.col("text"), 3).alias("ch")
+    ).collect()[0]
+    assert row["ch"] == ["a b c", "d e f", "g"]
+
+
+def test_scrub_pii_and_counts(spark):
+    cases = [
+        (1, "mail me at jane.doe+x@sub.example.co.uk today"),
+        (2, "call +49 (030) 1234-5678 or 555 010 9999"),
+        (3, "no pii here, version 1.2.3 and year 2024"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            T.scrub_pii(F.col("text")).alias("s"),
+            T.pii_count(F.col("text"), T.EMAIL_RE).alias("ne"),
+            T.pii_count(F.col("text"), T.PHONE_RE).alias("np"),
+        ).collect()
+    }
+    assert rows[1]["s"] == "mail me at <EMAIL> today"
+    assert rows[1]["ne"] == 1 and rows[1]["np"] == 0
+    assert rows[2]["s"] == "call <PHONE> or <PHONE>"
+    assert rows[2]["np"] == 2
+    # short digit runs (versions, years) are NOT phones
+    assert rows[3]["s"] == cases[2][1]
+
+
+def test_repetition_signals_closed_form(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),   # top=4/4, grams: 3 total 1 distinct
+            (2, "a b c d"),               # all unique
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in T.repetition_signals(df, "doc_id", "text").collect()
+    }
+    assert rows[1]["top_word_frac"] == 1.0
+    assert rows[1]["dup_2gram_frac"] == round(1.0 - 1 / 3.0, 6)
+    assert rows[2]["top_word_frac"] == 0.25
+    assert rows[2]["dup_2gram_frac"] == 0.0
