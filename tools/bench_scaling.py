@@ -76,6 +76,10 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_level = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n4_level = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * n_level
+    # optional 4th arg: corpus page count override (e.g. 300000 for the
+    # sf1-equivalent larger-corpus point); default stays 4x the bench
+    # corpus so compute dominates scheduling overhead
+    pages_override = int(sys.argv[4]) if len(sys.argv) > 4 else None
     sys.path.insert(0, REPO)
     from bench import PAGES_PER_SF, corpus_path, sf_of
     from page_segmentation_spark.session import get_spark
@@ -83,7 +87,7 @@ def main() -> None:
     sf = sf_of(sf_dir)
     # 4x the bench corpus: the scaling criterion needs compute to dominate
     # scheduling overhead (at the real 10^12 scale it trivially does)
-    n_pages = 4 * max(1000, int(PAGES_PER_SF * sf))
+    n_pages = pages_override or 4 * max(1000, int(PAGES_PER_SF * sf))
     spark = get_spark(app="scaling-gen", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
     corpus = corpus_path(spark, n_pages)
