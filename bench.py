@@ -47,6 +47,37 @@ def corpus_path(spark, n_pages: int) -> str:
     return path
 
 
+def warc_corpus_path(n_pages: int, n_files: int = 8) -> str:
+    """Deterministic WARC rendering of the first ``n_pages`` datagen pages
+    (per-record gzip members, Common-Crawl layout), split over
+    ``n_files`` files — cached like the parquet corpus."""
+    path = os.path.join(CACHE_ROOT, f"warc_n{n_pages}_f{n_files}_seed42")
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        from page_segmentation_spark.datagen import make_page
+        from page_segmentation_spark.sources.warc import build_warc
+
+        os.makedirs(path, exist_ok=True)
+        per = (n_pages + n_files - 1) // n_files
+        for f_idx in range(n_files):
+            ids = range(f_idx * per, min((f_idx + 1) * per, n_pages))
+            recs = []
+            for i in ids:
+                p = make_page(i)
+                recs.append(
+                    {
+                        "url": p["url"],
+                        "ts": "2024-01-01T00:00:00Z",
+                        "body": p["html"],
+                    }
+                )
+            with open(os.path.join(path, f"part-{f_idx:03d}.warc.gz"), "wb") as f:
+                f.write(build_warc(recs))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
 def materialize(df) -> int:
     """Force full execution through the noop sink; return row count from a
     cheap second action on the (small) result."""
@@ -113,12 +144,33 @@ def main() -> None:
     timings["extract_testdata"] = timed_median(
         lambda: extract(pages_from_documents(spark, SF_DIR))
     )
+    # crawl-ingest path: WARC files (per-record gzip members) -> record
+    # parse -> full extraction; 5k pages over 8 files = file-grain tasks
+    from pyspark.sql import functions as SF
+
+    from page_segmentation_spark.sources.warc import read_warc
+
+    warc_dir = warc_corpus_path(5000, n_files=CPUS)
+
+    def warc_extract():
+        pages_w = read_warc(spark, warc_dir).select(
+            "url", "warc_ts", "html",
+            SF.lit(None).cast("string").alias("text"),
+            SF.lit(None).cast("string").alias("lang"),
+        )
+        return extract(pages_w)
+
+    timings["extract_warc_ingest"] = timed_median(warc_extract)
+    extras["warc_ingest_docs_per_sec"] = round(
+        5000 / timings["extract_warc_ingest"], 1
+    )
     # the same pipeline over PDF byte streams (format dispatch path)
     timings["extract_pdf"] = timed_median(
         lambda: extract(pdf_pages_from_documents(spark, SF_DIR))
     )
     for name in (
         "dedup_minhash_lsh",
+        "dedup_paragraphs",
         "sim_cosine_topk",
         "w1_islands",
         "a2_vote",

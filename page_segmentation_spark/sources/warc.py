@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from typing import Iterator
 
 import pyarrow as pa
@@ -69,15 +70,25 @@ def _gunzip_members(data: bytes) -> bytes:
     layout).  Plain (non-gzip) input is returned unchanged."""
     if data[:2] != b"\x1f\x8b":
         return data
-    out = io.BytesIO()
-    with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
-        # GzipFile transparently reads concatenated members
-        while True:
-            chunk = gz.read(1 << 20)
-            if not chunk:
-                break
-            out.write(chunk)
-    return out.getvalue()
+    # member-by-member zlib.decompressobj (NOT GzipFile.read: a chunked
+    # GzipFile read that hits a truncated trailing member raises and
+    # discards every byte already decoded in that call) — a truncated or
+    # corrupt member (interrupted crawl upload) keeps all complete
+    # members; the record parser then stops at the first incomplete
+    # record.  Never raise on crawl dirt.
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and data[pos : pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(data[pos:])
+        except zlib.error:
+            break
+        if not d.eof:  # truncated member: no complete trailer
+            break
+        out += chunk
+        pos = len(data) - len(d.unused_data)
+    return bytes(out)
 
 
 def _parse_headers(block: bytes) -> dict[str, str]:
@@ -162,16 +173,20 @@ def _warc_ts_to_us(ts: str) -> int | None:
         return None
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """WARC files at ``path`` (glob ok) -> DataFrame of content records
-    ``(url, warc_ts, html, rec_type, http_status, warc_file)``.
+#: binaryFile source schema (needed explicitly by the streaming reader)
+BINARY_FILE_DDL = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
 
-    Plan shape: binaryFile scan -> ArrowEvalPython (the parse kernel) —
-    embarrassingly parallel, no shuffle.  Chain with
-    :func:`..sources.parse.parse_nodes` for extraction straight off a
-    crawl.
+
+def warc_records(files: DataFrame) -> DataFrame:
+    """Apply the WARC record parser to a binaryFile-shaped DataFrame
+    (``path``, ``content`` columns; batch or streaming) -> content
+    records ``(url, warc_ts, html, rec_type, http_status, warc_file)``.
+
+    Plan shape: scan -> ArrowEvalPython (the parse kernel) —
+    embarrassingly parallel, no shuffle.
     """
-    files = spark.read.format("binaryFile").load(path)
 
     def _kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -194,6 +209,13 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return files.select("path", "content").mapInArrow(_kernel, WARC_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC files at ``path`` (glob ok) -> DataFrame of content records.
+    Chain with the parse stage for extraction straight off a crawl; see
+    :func:`warc_records` for the plan shape."""
+    return warc_records(spark.read.format("binaryFile").load(path))
 
 
 # ------------------------------------------------------------------ writer

@@ -56,6 +56,59 @@ def stream_extract(
     return writer.start()
 
 
+def stream_extract_warc(
+    spark: SparkSession,
+    warc_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    settings: ExtractSettings | None = None,
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int = 16,
+):
+    """Incremental extraction straight off a landing directory of WARC
+    files (the continuously-running crawl-consumer shape): streaming
+    binaryFile source -> WARC record parse (mapInArrow, no shuffle) ->
+    ``foreachBatch(extract)`` -> append sink.
+
+    Each WARC file is consumed exactly once (file-source checkpointing);
+    per-record gzip members are parsed inside the batch, so output is
+    byte-identical to running :func:`..sources.warc.read_warc` +
+    ``extract`` over the same files.  ``max_files_per_trigger`` bounds a
+    micro-batch to ~16 crawl files (~16 GB at Common-Crawl sizing) —
+    tune to cluster memory.
+    """
+    from page_segmentation_spark.sources.warc import (
+        BINARY_FILE_DDL,
+        warc_records,
+    )
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(warc_path)
+    )
+    pages = warc_records(files).select(
+        "url",
+        "warc_ts",
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        extract(batch_df, settings).write.mode("append").parquet(output_path)
+
+    writer = (
+        pages.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def crawl_stats_stream(
     spark: SparkSession,
     input_path: str,

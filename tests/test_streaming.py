@@ -188,3 +188,54 @@ def test_crawl_stats_stream_plan(spark, tmp_path):
     rows = spark.sql("select * from crawl_stats").collect()
     assert len(rows) > 0
     assert all(r["n_pages"] > 0 for r in rows)
+
+
+def test_stream_extract_warc_matches_batch(spark, tmp_path):
+    """Streaming WARC landing-dir consumption == batch read_warc+extract,
+    with exactly-once file semantics across availableNow cycles."""
+    import os
+
+    from page_segmentation_spark.datagen import make_page
+    from page_segmentation_spark.sources.warc import build_warc
+    from page_segmentation_spark.streaming.extract_stream import (
+        stream_extract_warc,
+    )
+
+    src = str(tmp_path / "warc_in")
+    out = str(tmp_path / "warc_out")
+    ckpt = str(tmp_path / "warc_ckpt")
+    os.makedirs(src)
+    ts = "2024-01-01T00:00:00Z"
+
+    def _warc(name, ids):
+        with open(os.path.join(src, name), "wb") as f:
+            f.write(
+                build_warc(
+                    [
+                        {
+                            "url": make_page(i)["url"],
+                            "ts": ts,
+                            "body": make_page(i)["html"],
+                        }
+                        for i in ids
+                    ]
+                )
+            )
+
+    _warc("a.warc.gz", range(0, 6))
+    stream_extract_warc(spark, src, out, ckpt).awaitTermination(120)
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(got) == 6
+    from page_segmentation_spark.oracle import extract_document
+
+    for i in range(6):
+        p = make_page(i)
+        assert got[p["url"]] == extract_document(p["html"])["extracted_text"]
+
+    # second cycle with one new file: only the new records land
+    _warc("b.warc.gz", range(6, 9))
+    stream_extract_warc(spark, src, out, ckpt).awaitTermination(120)
+    assert spark.read.parquet(out).count() == 9

@@ -131,3 +131,13 @@ def test_crawl_to_extraction_byte_identity(spark, tmp_path):
         page = make_page(i)
         o = extract_document(page["html"])
         assert got[page["url"]]["extracted_text"] == o["extracted_text"], i
+
+
+def test_truncated_gzip_member_keeps_complete_records():
+    """An interrupted upload truncates the last gzip member mid-stream;
+    every record from complete members must still come back."""
+    data = build_warc(_recs(3), per_record_gzip=True)
+    third = data.index(b"\x1f\x8b\x08", data.index(b"\x1f\x8b\x08", 3) + 3)
+    truncated = data[: third + 20]  # cut inside member 3
+    out = list(parse_warc_bytes(truncated))
+    assert [r["url"] for r in out] == ["https://w.test/0", "https://w.test/1"]
