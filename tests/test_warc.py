@@ -1,7 +1,6 @@
 """WARC ingestion source (sources/warc.py): pure parser round-trips,
 Spark read path, and crawl-to-extraction end-to-end byte identity."""
 
-import glob
 import gzip
 import os
 
