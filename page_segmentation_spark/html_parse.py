@@ -118,18 +118,23 @@ def _is_stopword(token: str) -> int:
     return v
 
 
-_DEL_PUNCT = str.maketrans("", "", string.punctuation)
-_DEL_DIGITS = str.maketrans("", "", string.digits)
-_DEL_UPPER = str.maketrans("", "", _UPPER_CHARS)
-_DEL_ALPHA = str.maketrans("", "", _UPPER_CHARS + _LOWER_CHARS)
 
 # bytes.translate uses a 256-entry C table (vs per-char dict lookups for
-# str.translate) — ~6x faster; valid for ASCII text, where byte classes
-# equal the str classes exactly.  Non-ASCII falls back to the str path.
+# str.translate) — ~6x faster.  It runs on the UTF-8 encoding of ANY
+# text: the deletion tables are pure-ASCII bytes, and UTF-8 never uses
+# a byte < 0x80 for a non-ASCII character, so deleted-byte counts equal
+# deleted-char counts exactly.  The non-ASCII class members (the
+# Latin-1-supplement letters above) are exactly the C3-prefixed UTF-8
+# pairs — 0xC3 is never a continuation or other lead byte, so counting
+# C3 pairs at C speed (bytes.count / one small regex) adds them without
+# false positives.  This replaced a str.translate fallback that was
+# ~18% of total parse time on mixed-language corpora.
 _BDEL_PUNCT = bytes(string.punctuation, "ascii")
 _BDEL_DIGITS = bytes(string.digits, "ascii")
 _BDEL_UPPER = bytes(string.ascii_uppercase, "ascii")
 _BDEL_ALPHA = bytes(string.ascii_letters, "ascii")
+#: U+00C0-U+00DE minus multiplication sign, as UTF-8 pairs
+_RE_L1_UPPER = _re.compile(rb"\xc3[\x80-\x96\x98-\x9e]")
 
 
 def text_stats(
@@ -142,18 +147,17 @@ def text_stats(
     ``tokens`` (optional) is text.split() if the caller already has it —
     the parse hot path avoids re-splitting.
     """
-    n = len(text)
-    if text.isascii():
-        b = text.encode("ascii")
-        n_punct = n - len(b.translate(None, _BDEL_PUNCT))
-        n_digits = n - len(b.translate(None, _BDEL_DIGITS))
-        n_alpha = n - len(b.translate(None, _BDEL_ALPHA))
-        n_upper = n - len(b.translate(None, _BDEL_UPPER))
-    else:
-        n_punct = n - len(text.translate(_DEL_PUNCT))
-        n_digits = n - len(text.translate(_DEL_DIGITS))
-        n_alpha = n - len(text.translate(_DEL_ALPHA))
-        n_upper = n - len(text.translate(_DEL_UPPER))
+    b = text.encode("utf-8")
+    nb = len(b)
+    n_punct = nb - len(b.translate(None, _BDEL_PUNCT))
+    n_digits = nb - len(b.translate(None, _BDEL_DIGITS))
+    n_alpha = nb - len(b.translate(None, _BDEL_ALPHA))
+    n_upper = nb - len(b.translate(None, _BDEL_UPPER))
+    if nb != len(text):  # non-ASCII: add the Latin-1-supplement letters
+        nc3 = b.count(b"\xc3")
+        if nc3:
+            n_alpha += nc3 - b.count(b"\xc3\x97") - b.count(b"\xc3\xb7")
+            n_upper += len(_RE_L1_UPPER.findall(b))
     if tokens is None:
         tokens = text.split()
     # inlined _is_stopword memo loop (the function-call dispatch was ~8%

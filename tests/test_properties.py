@@ -5,6 +5,8 @@ is byte-identical to; no SparkSession needed, so hundreds of cases are
 cheap.
 """
 
+import string
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -176,3 +178,24 @@ def test_pdf_parser_never_crashes(data):
     nodes = parse_pdf(b"%PDF-1.4\n" + data)
     for n in nodes:
         assert n["n_chars"] == len(n["text"])
+
+
+# reference (pre-optimization) char-class counters: the documented class
+# definition, executed the slow obvious way — pins the UTF-8 byte-table
+# fast path in text_stats to exact equivalence on arbitrary unicode
+_UP_REF = string.ascii_uppercase + "".join(
+    chr(c) for c in range(0xC0, 0xDF) if c != 0xD7
+)
+_LO_REF = string.ascii_lowercase + "".join(
+    chr(c) for c in range(0xDF, 0x100) if c != 0xF7
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=80))
+def test_text_stats_class_counts_match_reference(s):
+    st_ = text_stats(s, 0)
+    assert st_["n_punct"] == sum(c in string.punctuation for c in s)
+    assert st_["n_digits"] == sum(c in string.digits for c in s)
+    assert st_["n_upper"] == sum(c in _UP_REF for c in s)
+    assert st_["n_alpha"] == sum(c in _UP_REF + _LO_REF for c in s)
