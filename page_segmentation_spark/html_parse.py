@@ -163,15 +163,24 @@ def text_stats(
     # inlined _is_stopword memo loop (the function-call dispatch was ~8%
     # of total parse time at 2.3M tokens per 1500 pages)
     cache = _STOP_CACHE
-    cache_get = cache.get
-    n_stop = 0
-    for tok in tokens:
-        v = cache_get(tok)
-        if v is None:
-            v = 1 if tok.lower().strip(string.punctuation) in STOPWORDS else 0
-            if len(cache) < 1_000_000:
-                cache[tok] = v
-        n_stop += v
+    try:
+        # warm-cache fast path: one C-level pass, no per-token bytecode
+        n_stop = sum(map(cache.__getitem__, tokens))
+    except KeyError:
+        cache_get = cache.get
+        can_grow = len(cache) < 1_000_000
+        n_stop = 0
+        for tok in tokens:
+            v = cache_get(tok)
+            if v is None:
+                v = (
+                    1
+                    if tok.lower().strip(string.punctuation) in STOPWORDS
+                    else 0
+                )
+                if can_grow:
+                    cache[tok] = v
+            n_stop += v
     return {
         "n_chars": len(text),
         "n_tokens": len(tokens),

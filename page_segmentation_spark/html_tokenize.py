@@ -72,9 +72,7 @@ def feed_events(collector, html: str) -> None:
         if m.start() > pos:
             data = html[pos: m.start()]
             collector.handle_data(unescape(data) if "&" in data else data)
-        end_name, start_name, _attrs, selfclose = (
-            m.group(1), m.group(2), m.group(3), m.group(4)
-        )
+        end_name, start_name, _attrs, selfclose = m.group(1, 2, 3, 4)
         pos = m.end()
         if end_name is not None:
             collector.handle_endtag(end_name.lower())
