@@ -6,7 +6,8 @@ First-class components beyond the reference's inventory (build brief):
   * ngram_jaccard      — word n-gram Jaccard similarity pairs
   * minhash_signatures / minhash_lsh — MinHash + banded LSH candidate
     pairs (shingle -> h32 -> k permutations -> min -> band-bucket join)
-  * simhash            — 16-bit SimHash per document (+ near-dup pairs)
+  * simhash            — 64-bit SimHash per document (+ near-dup pairs
+    via pigeonhole-complete quarter blocking; 16-bit demo width kept)
   * embedding_neardup  — cosine-similarity near-duplicate pairs
 
 Scale notes: exact dedup and minhash are linear with one shuffle per
@@ -26,6 +27,7 @@ from page_segmentation_spark.functions.hashing import (
     MERSENNE_P,
     PERMS,
     h32,
+    h32b,
 )
 
 
@@ -171,33 +173,59 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """16-bit SimHash over word tokens: bit j set iff the sum over tokens
-    of (bit_j(h32(token)) ? +1 : -1) is positive."""
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """``bits``-wide SimHash over word tokens: bit j set iff the sum over
+    tokens of (bit_j(hash(token)) ? +1 : -1) is positive.
+
+    Production width is 64 (the standard near-dup shape at 10^12 docs —
+    a 16-bit universe has only 65,536 values and collides pervasively at
+    corpus scale, degenerating blocked pair search toward quadratic).
+    Bits 0..31 come from the md5-prefix h32, bits 32..63 from a second
+    32-bit hash of md5 hex chars 9-16 (:func:`h32b`), so no unsigned-64
+    arithmetic is ever needed.  The result is a SIGNED 64-bit value: bit
+    63 maps to the sign bit via a -2^63 weight (two's complement), which
+    both Spark LongType and any ANSI BIGINT represent exactly — XOR and
+    bit_count operate on the raw bit pattern, so hamming distances are
+    unaffected by the signed interpretation."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in 1..64, got {bits}")
     toks = df.select(
         F.col(id_col).alias("sid"),
         F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
     ).where(F.col("tok") != "")
-    hcol = h32(F.col("tok"))
+    lo = h32(F.col("tok"))
+    hi = h32b(F.col("tok"))
     aggs = [
         F.sum(
-            F.when(F.shiftright(hcol, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(lo if j < 32 else hi, j % 32).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"b_{j}")
-        for j in range(16)
+        for j in range(bits)
     ]
     wide = toks.groupBy("sid").agg(*aggs)
     sim = F.lit(0).cast("long")
-    for j in range(16):
-        sim = sim + F.when(F.col(f"b_{j}") > 0, F.lit(1 << j)).otherwise(0)
+    for j in range(bits):
+        weight = -(1 << 63) if j == 63 else (1 << j)
+        sim = sim + F.when(F.col(f"b_{j}") > 0, F.lit(weight)).otherwise(0)
     return wide.select("sid", sim.alias("simhash"))
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit demo-width SimHash (kept for small fixtures/docs; use the
+    64-bit default of :func:`simhash` for anything corpus-scale)."""
+    return simhash(df, id_col, text_col, bits=16)
 
 
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    max_hamming: int = 2,
+    max_hamming: int = 3,
     n_pieces: int | None = None,
+    bits: int = 64,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance: multi-index blocking
     on ``n_pieces`` contiguous bit ranges (a pair is a candidate when ANY
@@ -213,14 +241,19 @@ def simhash_neardup_pairs(
     pieces) small, or pass a smaller ``n_pieces`` and accept the
     documented recall bound (complete only to hamming <= n_pieces - 1).
 
+    Defaults are the production shape: 64-bit simhash, max_hamming=3,
+    4 pieces of 16 bits each ("quarter blocking") — each piece has a
+    2^16-value bucket universe, so expected bucket size at N docs is
+    N/65,536 per piece and candidates stay near-linear.
+
     Scale: the blocking is a UNION of per-piece equi-joins — each
     hash-partitions on its piece value — never an OR-join, which Spark
     can only plan as a nested-loop (quadratic at 10^12 rows).
     distinct() dedups pairs proposed by several pieces."""
     if n_pieces is None:
-        n_pieces = min(16, max_hamming + 1)
-    s = simhash16(df, id_col, text_col)
-    bounds = [round(16 * i / n_pieces) for i in range(n_pieces + 1)]
+        n_pieces = min(bits, max_hamming + 1)
+    s = simhash(df, id_col, text_col, bits=bits)
+    bounds = [round(bits * i / n_pieces) for i in range(n_pieces + 1)]
     piece_names = []
     piece_cols = []
     for p in range(n_pieces):

@@ -650,17 +650,23 @@ def dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(d, "doc_id", "text", n=3, n_perms=8, band_size=1)
 
 
-def _simhash_sql():
-    from page_segmentation_spark.functions.hashing import h32_sql
+def _simhash_sql(bits=64):
+    from page_segmentation_spark.functions.hashing import h32_sql, h32b_sql
 
-    h = h32_sql("tok")
+    h_lo = h32_sql("tok")
+    h_hi = h32b_sql("tok")
     bit_sums = ", ".join(
-        f"sum(CASE WHEN ({h} >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b_{j}"
-        for j in range(16)
+        f"sum(CASE WHEN ({h_lo if j < 32 else h_hi} >> {j % 32}) & 1 = 1"
+        f" THEN 1 ELSE -1 END) AS b_{j}"
+        for j in range(bits)
     )
-    sim = " + ".join(
-        f"(CASE WHEN b_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
-    )
+    # bit 63 carries the -2^63 two's-complement weight so the value fits
+    # signed BIGINT identically on both engines (see dedup.simhash)
+    terms = []
+    for j in range(bits):
+        w = "(-9223372036854775807 - 1)" if j == 63 else str(1 << j)
+        terms.append(f"(CASE WHEN b_{j} > 0 THEN CAST({w} AS BIGINT) ELSE 0 END)")
+    sim = " + ".join(terms)
     return f"""
     WITH toks AS (
       SELECT doc_id AS sid, t.tok
@@ -677,8 +683,9 @@ def _simhash_sql():
 
 @_q("dedup_simhash", _simhash_sql())
 def dedup_simhash(spark, sf_dir):
+    """64-bit production-width SimHash (signed BIGINT, bit 63 = sign)."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    return D.simhash16(d, "doc_id", "text")
+    return D.simhash(d, "doc_id", "text", bits=64)
 
 
 @_q(
@@ -688,17 +695,20 @@ def dedup_simhash(spark, sf_dir):
     SELECT a.sid AS id_a, b.sid AS id_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
     FROM sims a JOIN sims b ON a.sid < b.sid
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
     """,
 )
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: multi-index blocking (union of per-piece
-    equi-joins, pigeonhole-complete for hamming <= n_pieces-1; never an
-    OR nested-loop join) + exact hamming verify.  With the default
-    n_pieces = max_hamming+1 the result is EXACTLY all pairs at hamming
-    <= 6, which is what the oracle computes by brute force."""
+    """SimHash near-dup pairs on 64-bit hashes: multi-index blocking
+    (union of per-piece equi-joins, pigeonhole-complete for hamming <=
+    n_pieces-1; never an OR nested-loop join) + exact hamming verify.
+    With n_pieces = max_hamming+1 the result is EXACTLY all pairs at
+    hamming <= 8, which the oracle computes by brute force.  hamming=8
+    here is recall-oriented so the tiny-SF check is non-vacuous (at
+    production defaults — max_hamming=3, 4x16-bit quarter blocking —
+    this fixture has zero near-dups); production keeps the quarters."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    return D.simhash_neardup_pairs(d, "doc_id", "text", max_hamming=6)
+    return D.simhash_neardup_pairs(d, "doc_id", "text", max_hamming=8, bits=64)
 
 
 @_q(

@@ -103,13 +103,19 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (0, 3) not in cand
 
 
+_M64 = (1 << 64) - 1
+
+
+def _ham(a, b):
+    """Hamming distance on the raw 64-bit pattern (signed-safe)."""
+    return bin((a ^ b) & _M64).count("1")
+
+
 def test_simhash_identical_and_near(spark):
     sh = {r["sid"]: r["simhash"] for r in
-          D.simhash16(_docs(spark), "doc_id", "text").collect()}
+          D.simhash(_docs(spark), "doc_id", "text", bits=64).collect()}
     assert sh[0] == sh[1] == sh[2]
-    ham03 = bin(sh[0] ^ sh[3]).count("1")
-    ham04 = bin(sh[0] ^ sh[4]).count("1")
-    assert ham04 <= ham03  # near-dup closer than unrelated doc
+    assert _ham(sh[0], sh[4]) <= _ham(sh[0], sh[3])  # near-dup closer
     pairs = {
         (r["id_a"], r["id_b"])
         for r in D.simhash_neardup_pairs(
@@ -117,6 +123,17 @@ def test_simhash_identical_and_near(spark):
         ).collect()
     }
     assert (0, 1) in pairs and (0, 2) in pairs
+
+
+def test_simhash16_demo_width_matches_low_bits_semantics(spark):
+    """The 16-bit demo wrapper stays non-negative and is the bits=16
+    projection of the same (+1/-1 bit-vote) construction."""
+    sh16 = {r["sid"]: r["simhash"] for r in
+            D.simhash16(_docs(spark), "doc_id", "text").collect()}
+    assert all(0 <= v < (1 << 16) for v in sh16.values())
+    sh16b = {r["sid"]: r["simhash"] for r in
+             D.simhash(_docs(spark), "doc_id", "text", bits=16).collect()}
+    assert sh16 == sh16b
 
 
 def test_simhash_pairs_plan_is_hash_joinable(spark):
@@ -131,16 +148,17 @@ def test_simhash_pairs_plan_is_hash_joinable(spark):
 
 
 def test_simhash_multi_index_blocking_is_complete(spark):
-    """Pigeonhole completeness: with the default n_pieces = max_hamming+1
-    the blocked result equals the brute-force pair set — the old 2-half
-    blocker silently lost pairs differing >=1 bit in each half."""
+    """Pigeonhole completeness at the production 64-bit width: with the
+    default n_pieces = max_hamming+1 the blocked result equals the
+    brute-force pair set — the old 2-half blocker silently lost pairs
+    differing >=1 bit in each half."""
     sh = {r["sid"]: r["simhash"] for r in
-          D.simhash16(_docs(spark), "doc_id", "text").collect()}
-    for h in (1, 2, 6):
+          D.simhash(_docs(spark), "doc_id", "text", bits=64).collect()}
+    for h in (1, 3, 6):
         brute = {
-            (a, b): bin(sh[a] ^ sh[b]).count("1")
+            (a, b): _ham(sh[a], sh[b])
             for a in sh for b in sh
-            if a < b and bin(sh[a] ^ sh[b]).count("1") <= h
+            if a < b and _ham(sh[a], sh[b]) <= h
         }
         got = {
             (r["id_a"], r["id_b"]): r["hamming"]
@@ -158,8 +176,22 @@ def test_simhash_multi_index_blocking_is_complete(spark):
     }
     assert partial <= set(
         (a, b) for a in sh for b in sh
-        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 6
+        if a < b and _ham(sh[a], sh[b]) <= 6
     )
+    # 16-bit demo width stays complete too
+    sh16 = {r["sid"]: r["simhash"] for r in
+            D.simhash16(_docs(spark), "doc_id", "text").collect()}
+    got16 = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_neardup_pairs(
+            _docs(spark), "doc_id", "text", max_hamming=2, bits=16
+        ).collect()
+    }
+    assert got16 == {
+        (a, b): _ham(sh16[a], sh16[b])
+        for a in sh16 for b in sh16
+        if a < b and _ham(sh16[a], sh16[b]) <= 2
+    }
 
 
 def test_ngram_jaccard_block_col_restricts_pairs(spark):
