@@ -147,7 +147,12 @@ def text_stats(
     ``tokens`` (optional) is text.split() if the caller already has it —
     the parse hot path avoids re-splitting.
     """
-    b = text.encode("utf-8")
+    # surrogatepass: lone surrogates (unreachable via the parse
+    # front-ends, which decode with errors='replace', but allowed by the
+    # public contract) encode to ED-prefixed 3-byte sequences containing
+    # no ASCII-class or 0xC3 bytes — every count below is identical to
+    # treating them as opaque non-letters, instead of raising.
+    b = text.encode("utf-8", "surrogatepass")
     nb = len(b)
     n_punct = nb - len(b.translate(None, _BDEL_PUNCT))
     n_digits = nb - len(b.translate(None, _BDEL_DIGITS))

@@ -27,8 +27,9 @@ Scale notes: payload bytes never leave the JVM<->Arrow columnar path as
 Python objects row-by-row; headers are parsed per record in the worker.
 ``spark.sql.files.maxPartitionBytes`` does not split binaryFile rows, so
 per-file memory is bounded by the largest WARC member — crawl files are
-capped at ~1 GB which fits executor memory; for larger archives point
-``read_warc`` at a manifest of byte-range shards instead.
+capped at ~1 GB which fits executor memory; for larger archives use
+:func:`read_warc_ranges` with a :func:`shard_ranges` manifest (each
+shard starts on a gzip-member boundary and parses independently).
 
 Analog of the reference's dataset loading (lib/dataset.py:131-198): the
 reference reads page images from disk into arrays; here the "image" is
@@ -135,7 +136,18 @@ def parse_warc_bytes(data: bytes, warc_file: str = "") -> Iterator[dict]:
         if pos >= n:
             return
         if not raw.startswith(b"WARC/", pos):
-            return  # trailing dirt — stop, keep what we have
+            # mid-stream dirt (one corrupt record must not discard the
+            # rest of the file — the gzip-member layout makes every later
+            # record independently recoverable): resync by scanning for
+            # the next record header.  False positives (a literal
+            # "WARC/" inside a payload) only occur here AFTER corruption
+            # already broke record framing — the resynced parse then
+            # requires a full well-formed header block anyway.
+            nxt = raw.find(b"WARC/", pos + 1)
+            if nxt < 0:
+                return  # trailing dirt — stop, keep what we have
+            pos = nxt
+            continue
         head_end = raw.find(b"\r\n\r\n", pos)
         if head_end < 0:
             return
@@ -143,7 +155,12 @@ def parse_warc_bytes(data: bytes, warc_file: str = "") -> Iterator[dict]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            return
+            # malformed record: skip its header block and resync
+            nxt = raw.find(b"WARC/", head_end)
+            if nxt < 0:
+                return
+            pos = nxt
+            continue
         body_start = head_end + 4
         payload = raw[body_start : body_start + length]
         pos = body_start + length
@@ -161,14 +178,17 @@ def parse_warc_bytes(data: bytes, warc_file: str = "") -> Iterator[dict]:
 
 
 def _warc_ts_to_us(ts: str) -> int | None:
-    """'2024-01-01T00:00:00Z' -> epoch microseconds (UTC), None if
+    """'2024-01-01T00:00:00Z' (WARC/1.0) or '...:00.123456Z' (WARC/1.1
+    permits fractional seconds) -> epoch microseconds (UTC), None if
     unparseable.  Pure arithmetic so workers need no tz database."""
     import calendar
     import time
 
+    base, _, frac = ts.rstrip("Z").partition(".")
     try:
-        st = time.strptime(ts.rstrip("Z"), "%Y-%m-%dT%H:%M:%S")
-        return calendar.timegm(st) * 1_000_000
+        st = time.strptime(base, "%Y-%m-%dT%H:%M:%S")
+        us = int(frac[:6].ljust(6, "0")) if frac.isdigit() else 0
+        return calendar.timegm(st) * 1_000_000 + us
     except ValueError:
         return None
 
@@ -179,36 +199,75 @@ BINARY_FILE_DDL = (
 )
 
 
+#: flush the output RecordBatch when accumulated body bytes reach this
+#: (pa.binary() carries 32-bit offsets, hard cap 2 GiB per array; a
+#: ~1 GB crawl .warc.gz inflates past that, so ONE batch per input file
+#: would raise ArrowCapacityError — bounded flushing keeps worker memory
+#: and every output array far below the cap).
+FLUSH_BYTES = 256 * 1024 * 1024
+FLUSH_RECORDS = 65_536
+
+
+def _bounded_batches(recs: Iterator[dict]) -> Iterator[pa.RecordBatch]:
+    """Accumulate parsed records into Arrow RecordBatches, flushing on
+    the FLUSH_BYTES / FLUSH_RECORDS bounds; always emits at least one
+    (possibly empty) batch so the schema is established."""
+    cols: dict[str, list] = {f.name: [] for f in _ARROW_SCHEMA}
+    acc_bytes = 0
+
+    def _flush() -> pa.RecordBatch:
+        nonlocal acc_bytes
+        out = pa.RecordBatch.from_arrays(
+            [pa.array(cols[f.name], type=f.type) for f in _ARROW_SCHEMA],
+            schema=_ARROW_SCHEMA,
+        )
+        for v in cols.values():
+            v.clear()
+        acc_bytes = 0
+        return out
+
+    emitted = False
+    for rec in recs:
+        cols["url"].append(rec["url"])
+        cols["warc_ts"].append(_warc_ts_to_us(rec["warc_ts"]))
+        cols["html"].append(rec["html"])
+        cols["rec_type"].append(rec["rec_type"])
+        cols["http_status"].append(rec["http_status"])
+        cols["warc_file"].append(rec["warc_file"])
+        acc_bytes += len(rec["html"] or b"")
+        if acc_bytes >= FLUSH_BYTES or len(cols["url"]) >= FLUSH_RECORDS:
+            emitted = True
+            yield _flush()
+    if cols["url"] or not emitted:
+        yield _flush()
+
+
+def _record_batch_kernel(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    def recs() -> Iterator[dict]:
+        for batch in batches:
+            d = batch.to_pydict()
+            for fpath, content in zip(d["path"], d["content"]):
+                yield from parse_warc_bytes(content, warc_file=fpath)
+
+    yield from _bounded_batches(recs())
+
+
 def warc_records(files: DataFrame) -> DataFrame:
     """Apply the WARC record parser to a binaryFile-shaped DataFrame
     (``path``, ``content`` columns; batch or streaming) -> content
     records ``(url, warc_ts, html, rec_type, http_status, warc_file)``.
 
     Plan shape: scan -> ArrowEvalPython (the parse kernel) —
-    embarrassingly parallel, no shuffle.
+    embarrassingly parallel, no shuffle.  Output RecordBatches are
+    flushed every FLUSH_BYTES body bytes / FLUSH_RECORDS records so no
+    Arrow binary array ever approaches the 2 GiB 32-bit-offset cap,
+    whatever one input file inflates to.
     """
-
-    def _kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
-            cols: dict[str, list] = {f.name: [] for f in _ARROW_SCHEMA}
-            d = batch.to_pydict()
-            for fpath, content in zip(d["path"], d["content"]):
-                for rec in parse_warc_bytes(content, warc_file=fpath):
-                    cols["url"].append(rec["url"])
-                    cols["warc_ts"].append(_warc_ts_to_us(rec["warc_ts"]))
-                    cols["html"].append(rec["html"])
-                    cols["rec_type"].append(rec["rec_type"])
-                    cols["http_status"].append(rec["http_status"])
-                    cols["warc_file"].append(rec["warc_file"])
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(cols[f.name], type=f.type)
-                    for f in _ARROW_SCHEMA
-                ],
-                schema=_ARROW_SCHEMA,
-            )
-
-    return files.select("path", "content").mapInArrow(_kernel, WARC_SCHEMA)
+    return files.select("path", "content").mapInArrow(
+        _record_batch_kernel, WARC_SCHEMA
+    )
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -216,6 +275,98 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     Chain with the parse stage for extraction straight off a crawl; see
     :func:`warc_records` for the plan shape."""
     return warc_records(spark.read.format("binaryFile").load(path))
+
+
+# ------------------------------------------------- byte-range sharding
+
+RANGE_MANIFEST_SCHEMA = "path string, offset long, length long"
+
+
+def warc_member_offsets(data: bytes) -> list[int]:
+    """Byte offsets of every gzip member start in a per-record-gzip'd
+    WARC (the Common-Crawl layout).  Walking requires inflating each
+    member once (gzip carries no member index), which is why shard
+    manifests are computed ONCE at crawl-publish time and reused; for
+    plain (uncompressed) input returns [0]."""
+    if data[:2] != b"\x1f\x8b":
+        return [0]
+    offsets = []
+    pos = 0
+    while pos < len(data) and data[pos : pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            d.decompress(data[pos:])
+        except zlib.error:
+            break
+        if not d.eof:
+            break
+        offsets.append(pos)
+        pos = len(data) - len(d.unused_data)
+    return offsets
+
+
+def shard_ranges(
+    path: str, target_bytes: int, data: bytes | None = None
+) -> list[tuple[str, int, int]]:
+    """Split one .warc.gz into byte-range shards of ~``target_bytes``
+    compressed size, each starting AND ending on a gzip-member boundary
+    (so every shard parses independently and their union is exactly the
+    whole file — no record is split or double-read).  Returns
+    ``[(path, offset, length)]`` manifest rows for
+    :func:`read_warc_ranges`."""
+    if data is None:
+        with open(path, "rb") as f:
+            data = f.read()
+    bounds = warc_member_offsets(data) + [len(data)]
+    shards: list[tuple[str, int, int]] = []
+    start = bounds[0] if bounds else 0
+    for i in range(1, len(bounds)):
+        if bounds[i] - start >= target_bytes or i == len(bounds) - 1:
+            shards.append((path, start, bounds[i] - start))
+            start = bounds[i]
+    return shards
+
+
+def _ranged_kernel(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    def recs() -> Iterator[dict]:
+        for batch in batches:
+            d = batch.to_pydict()
+            for path, off, ln in zip(d["path"], d["offset"], d["length"]):
+                local = path[7:] if path.startswith("file://") else (
+                    path[5:] if path.startswith("file:") else path
+                )
+                with open(local, "rb") as f:
+                    f.seek(off)
+                    data = f.read(ln)
+                yield from parse_warc_bytes(data, warc_file=path)
+
+    yield from _bounded_batches(recs())
+
+
+def read_warc_ranges(spark: SparkSession, shards) -> DataFrame:
+    """WARC ingestion from a manifest of byte-range shards — the scale
+    path for archives LARGER than executor memory, where whole-file
+    ``binaryFile`` rows (which Spark cannot split) would not fit.
+
+    ``shards``: a DataFrame with RANGE_MANIFEST_SCHEMA columns, or a
+    list of ``(path, offset, length)`` tuples (e.g. from
+    :func:`shard_ranges`).  Each shard must start on a gzip-member
+    boundary — any member boundary is a valid resume point, so shard
+    parses are independent and their union is byte-identical to the
+    whole-file read (pinned by test_warc_range_shards).  Workers read
+    only their range (seek+read here; a ranged GET against object
+    storage in a real deployment), so per-task memory is bounded by the
+    shard size, not the archive size."""
+    if not isinstance(shards, DataFrame):
+        shards = spark.createDataFrame(
+            [(p, int(o), int(ln)) for p, o, ln in shards],
+            RANGE_MANIFEST_SCHEMA,
+        )
+    return shards.select("path", "offset", "length").mapInArrow(
+        _ranged_kernel, WARC_SCHEMA
+    )
 
 
 # ------------------------------------------------------------------ writer

@@ -5,12 +5,16 @@ reference lib/predictor.py:27-30).  The graft adds an incremental mode
 for continuously-landing crawl data:
 
   * :func:`stream_extract` — ``readStream`` over a pages directory ->
-    ``foreachBatch(extract)`` -> append sink.  Extraction is stateless
-    across documents (every window/groupBy is per-url), so micro-batch
-    semantics are exact: each page is extracted once, byte-identically
-    to the batch pipeline, and Spark's streaming checkpoint gives
-    exactly-once appends (complementing the batch-side bucket
-    checkpoint protocol in plans/checkpoint.py).
+    ``foreachBatch(extract)`` -> idempotent per-batch sink.  Extraction
+    is stateless across documents (every window/groupBy is per-url), so
+    micro-batch semantics are exact: each page is extracted once,
+    byte-identically to the batch pipeline.  The sink writes each
+    micro-batch to its own ``batch_id=N`` subdirectory with overwrite —
+    a batch retried after a partial write replaces its own output
+    instead of appending duplicates, upgrading foreachBatch's native
+    at-least-once to exactly-once sink contents (complementing the
+    batch-side bucket checkpoint protocol in plans/checkpoint.py).
+    Readers see ``batch_id`` as a discovered partition column.
   * :func:`crawl_stats_stream` — event-time windowed counts over
     ``warc_ts`` with a watermark for late crawl records (the
     operational metrics side-channel).
@@ -44,7 +48,11 @@ def stream_extract(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         result = extract(batch_df, settings)
-        result.write.mode("append").parquet(output_path)
+        # idempotent: overwrite THIS batch's directory so a post-crash
+        # retry replaces its partial output rather than duplicating it
+        result.write.mode("overwrite").parquet(
+            f"{output_path}/batch_id={batch_id}"
+        )
 
     writer = (
         pages.writeStream.foreachBatch(process_batch)
@@ -70,12 +78,14 @@ def stream_extract_warc(
     binaryFile source -> WARC record parse (mapInArrow, no shuffle) ->
     ``foreachBatch(extract)`` -> append sink.
 
-    Each WARC file is consumed exactly once (file-source checkpointing);
-    per-record gzip members are parsed inside the batch, so output is
-    byte-identical to running :func:`..sources.warc.read_warc` +
-    ``extract`` over the same files.  ``max_files_per_trigger`` bounds a
-    micro-batch to ~16 crawl files (~16 GB at Common-Crawl sizing) —
-    tune to cluster memory.
+    Each WARC file is consumed exactly once (file-source checkpointing)
+    and each micro-batch writes to its own ``batch_id=N`` subdirectory
+    with overwrite (idempotent retry — exactly-once sink contents, see
+    :func:`stream_extract`); per-record gzip members are parsed inside
+    the batch, so output is byte-identical to running
+    :func:`..sources.warc.read_warc` + ``extract`` over the same files.
+    ``max_files_per_trigger`` bounds a micro-batch to ~16 crawl files
+    (~16 GB at Common-Crawl sizing) — tune to cluster memory.
     """
     from page_segmentation_spark.sources.warc import (
         BINARY_FILE_DDL,
@@ -97,7 +107,9 @@ def stream_extract_warc(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        extract(batch_df, settings).write.mode("append").parquet(output_path)
+        extract(batch_df, settings).write.mode("overwrite").parquet(
+            f"{output_path}/batch_id={batch_id}"
+        )
 
     writer = (
         pages.writeStream.foreachBatch(process_batch)

@@ -71,3 +71,18 @@ def test_text_stats():
     assert s["n_upper"] == 2  # T, Q
     assert s["n_stop"] == 1  # 'The'
     assert s["n_link_chars"] == 4
+
+
+def test_text_stats_lone_surrogates_dont_raise():
+    """Public-contract regression: lone surrogates (unreachable via the
+    parse front-ends but legal inputs to the function) must yield the
+    same counts as any other opaque non-letter codepoint, not raise.
+    Their surrogatepass UTF-8 encoding (ED-prefixed 3-byte sequences)
+    contains no ASCII-class or 0xC3 bytes, so letter/digit/punct counts
+    are unchanged vs the text without them."""
+    from page_segmentation_spark.html_parse import text_stats
+
+    base = text_stats("Hello, World 42", 0)
+    with_surr = text_stats("Hello,\ud800 World 42\udfff", 0)
+    for k in ("n_punct", "n_digits", "n_alpha", "n_upper"):
+        assert with_surr[k] == base[k], k

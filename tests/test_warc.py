@@ -140,3 +140,101 @@ def test_truncated_gzip_member_keeps_complete_records():
     truncated = data[: third + 20]  # cut inside member 3
     out = list(parse_warc_bytes(truncated))
     assert [r["url"] for r in out] == ["https://w.test/0", "https://w.test/1"]
+
+
+def test_resync_after_corrupt_mid_file_record():
+    """One corrupt record mid-file must not discard the rest: the parser
+    resyncs at the next record header (gzip members make later records
+    independently recoverable)."""
+    good = build_warc(_recs(3), per_record_gzip=False)
+    # corrupt record 2's framing by slicing its header mid-way
+    starts = [i for i in range(len(good)) if good.startswith(b"WARC/", i)]
+    assert len(starts) == 3
+    broken = good[: starts[1] + 3] + b"\x00GARBAGE\x00" + good[starts[1] + 40:]
+    out = list(parse_warc_bytes(broken))
+    urls = [r["url"] for r in out]
+    assert "https://w.test/0" in urls and "https://w.test/2" in urls
+
+
+def test_resync_after_malformed_content_length():
+    """A record with an unparseable Content-Length is skipped, not
+    terminal — the following well-formed record still parses."""
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad/\r\nWARC-Date: " + TS.encode()
+        + b"\r\nContent-Length: NaN\r\n\r\nhttp\r\n\r\n"
+    )
+    good = build_warc(_recs(1), per_record_gzip=False)
+    out = list(parse_warc_bytes(bad + good))
+    assert [r["url"] for r in out] == ["https://w.test/0"]
+
+
+def test_fractional_second_warc_dates():
+    """WARC/1.1 fractional-second dates must not null the timestamp."""
+    from page_segmentation_spark.sources.warc import _warc_ts_to_us
+
+    base = _warc_ts_to_us("2024-01-01T00:00:00Z")
+    assert base is not None
+    assert _warc_ts_to_us("2024-01-01T00:00:00.123Z") == base + 123_000
+    assert _warc_ts_to_us("2024-01-01T00:00:00.123456Z") == base + 123_456
+    assert _warc_ts_to_us("not-a-date") is None
+
+
+def test_bounded_batch_flush_preserves_rows(monkeypatch):
+    """The Arrow kernel must flush bounded RecordBatches (a ~1 GB crawl
+    file inflates past the 2 GiB 32-bit binary-array cap if emitted as
+    one batch) without changing the row stream."""
+    import pyarrow as pa
+
+    from page_segmentation_spark.sources import warc as W
+
+    recs = list(parse_warc_bytes(build_warc(_recs(10)), warc_file="f"))
+    monkeypatch.setattr(W, "FLUSH_RECORDS", 3)
+    batches = list(W._bounded_batches(iter(recs)))
+    assert len(batches) == 4  # 3+3+3+1
+    urls = [u for b in batches for u in b.column("url").to_pylist()]
+    assert urls == [r["url"] for r in recs]
+    monkeypatch.setattr(W, "FLUSH_RECORDS", 65536)
+    monkeypatch.setattr(W, "FLUSH_BYTES", 1)  # every record flushes
+    batches = list(W._bounded_batches(iter(recs)))
+    assert len(batches) == 10
+    # empty input still yields one schema-bearing batch
+    empty = list(W._bounded_batches(iter([])))
+    assert len(empty) == 1 and empty[0].num_rows == 0
+    assert empty[0].schema == W._ARROW_SCHEMA
+
+
+def test_warc_range_shards_byte_identical(spark, tmp_path):
+    """A manifest of byte-range shards (each starting on a gzip-member
+    boundary) must reproduce the whole-file read exactly — the scale
+    path for archives past executor memory."""
+    from page_segmentation_spark.sources.warc import (
+        read_warc_ranges,
+        shard_ranges,
+        warc_member_offsets,
+    )
+
+    p = str(tmp_path / "big.warc.gz")
+    data = build_warc(_recs(9), per_record_gzip=True)
+    with open(p, "wb") as f:
+        f.write(data)
+    offs = warc_member_offsets(data)
+    assert len(offs) == 9 and offs[0] == 0
+    shards = shard_ranges(p, target_bytes=len(data) // 3)
+    assert len(shards) >= 2
+    assert sum(ln for _, _, ln in shards) == len(data)  # full coverage
+    assert all(off in offs for _, off, _ in shards)  # member-aligned
+    whole = sorted(
+        (r["url"], bytes(r["html"])) for r in read_warc(spark, p).collect()
+    )
+    sharded = sorted(
+        (r["url"], bytes(r["html"]))
+        for r in read_warc_ranges(spark, shards).collect()
+    )
+    assert sharded == whole and len(whole) == 9
+    # plan shape: manifest scan -> Arrow kernel, no shuffle
+    plan = (
+        read_warc_ranges(spark, shards)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
