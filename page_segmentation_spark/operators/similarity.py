@@ -65,6 +65,29 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+def brute_force_topk_df(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """Action-free exact top-k: the query vector arrives as a ONE-ROW
+    DataFrame broadcast onto the corpus (the Spark twin of the oracle's
+    ``WITH q AS (SELECT ...)``) — plan construction runs no
+    ``.first()``/collect, so the whole query stays lazy and composable
+    (e.g. inside a larger pipeline or a stream).  Same scoring fold and
+    tie-break as :func:`brute_force_topk`."""
+    qcol = query_vec_col or vec_col
+    q = query_df.select(F.col(qcol).alias("__qv"))
+    scored = df.crossJoin(F.broadcast(q)).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
 def hyperplane_signs(n_planes: int, dim: int) -> List[List[float]]:
     """Deterministic ±1 hyperplanes from the portable hash (seedable,
     identical in tests/oracles)."""
@@ -171,11 +194,10 @@ def ivf_assign(
     return out.select(id_col, vec_col, best["list_id"].alias("list_id"))
 
 
-def _probe_lists(carr: Column, query: Sequence[float], n_probe: int) -> Column:
+def _probe_lists(carr: Column, q: Column, n_probe: int) -> Column:
     """The ``n_probe`` list_ids nearest the query, computed in-plan from
     the broadcast centroid array (no driver-side collect): sort the array
     by (-cosine, list_id), slice, project the ids."""
-    q = lit_vec(query)
     ranked = F.array_sort(
         F.transform(
             carr,
@@ -218,11 +240,44 @@ def ivf_topk(
     q = lit_vec(query)
     out = df.crossJoin(F.broadcast(carr))
     best = _nearest_list(F.col(vec_col), F.col("carr"))
-    probes = _probe_lists(F.col("carr"), query, n_probe)
+    probes = _probe_lists(F.col("carr"), q, n_probe)
     cand = out.where(F.array_contains(probes, best["list_id"]))
     scored = cand.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def ivf_topk_df(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_centroids: int = 4,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """Action-free IVF ANN: like :func:`ivf_topk` but the query vector
+    arrives as a ONE-ROW DataFrame broadcast onto the corpus (two 1-row
+    broadcast attaches: centroid array + query) — no driver action
+    anywhere in plan construction.  Probe selection and assignment are
+    the same in-plan folds, so results match :func:`ivf_topk` for the
+    same query vector."""
+    qcol = query_vec_col or vec_col
+    qdf = query_df.select(F.col(qcol).alias("__qv"))
+    cent = df.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("list_id"), F.col(vec_col).alias("cvec")
+    )
+    carr = centroid_struct_array(cent)
+    out = df.crossJoin(F.broadcast(carr)).crossJoin(F.broadcast(qdf))
+    best = _nearest_list(F.col(vec_col), F.col("carr"))
+    probes = _probe_lists(F.col("carr"), F.col("__qv"), n_probe)
+    cand = out.where(F.array_contains(probes, best["list_id"]))
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 

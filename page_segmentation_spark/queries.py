@@ -789,10 +789,12 @@ def _cos_sql(a: str, b: str, dim: int = 64) -> str:
     """,
 )
 def sim_cosine_topk(spark, sf_dir):
-    """Brute-force exact cosine top-k (ANN baseline)."""
+    """Brute-force exact cosine top-k (ANN baseline).  Fully lazy: the
+    query vector is a one-row broadcast DataFrame (the Spark twin of the
+    oracle's WITH q AS ...), not a driver-side .first()."""
     emb = _t(spark, sf_dir, "embeddings")
-    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
-    return S.brute_force_topk(emb, list(qrow["embedding"]), k=10)
+    qdf = emb.where(F.col("vec_id") == 0).select("embedding")
+    return S.brute_force_topk_df(emb, qdf, k=10)
 
 
 @_q(
@@ -823,12 +825,11 @@ def sim_cosine_topk(spark, sf_dir):
 def sim_ivf_topk(spark, sf_dir):
     """IVF ANN: inverted-file coarse quantization (4 lists, probe 2) +
     exact cosine top-k within the probed lists — the index-shaped scale
-    path next to brute force and LSH buckets."""
+    path next to brute force and LSH buckets.  Fully lazy: query vector
+    attaches as a one-row broadcast, no driver action."""
     emb = _t(spark, sf_dir, "embeddings")
-    qrow = emb.where(F.col("vec_id") == 0).select("embedding").first()
-    return S.ivf_topk(
-        emb, list(qrow["embedding"]), k=10, n_centroids=4, n_probe=2
-    )
+    qdf = emb.where(F.col("vec_id") == 0).select("embedding")
+    return S.ivf_topk_df(emb, qdf, k=10, n_centroids=4, n_probe=2)
 
 
 def _lsh_bucket_sql(vec: str, n_planes: int = 4, dim: int = 64) -> str:

@@ -104,3 +104,30 @@ def test_scorer_inside_wholestage_codegen(spark, tmp_path):
     # '*(n)' prefixes mark whole-stage-codegen spans in the compact form
     assert "*(" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_queries_construction_is_action_free(spark):
+    """Constructing EVERY queries() entry must run zero driver actions —
+    plans stay lazy and composable (a .first()/collect() at construction
+    time is a hidden job that serializes pipeline assembly at scale)."""
+    from pyspark.sql import DataFrame
+
+    actions = ("collect", "first", "take", "head", "count", "toPandas",
+               "foreach", "foreachPartition")
+    saved = {a: getattr(DataFrame, a) for a in actions}
+
+    def _boom(name):
+        def _f(self, *args, **kwargs):
+            raise AssertionError(
+                f"driver action DataFrame.{name}() during plan construction"
+            )
+        return _f
+
+    try:
+        for a in actions:
+            setattr(DataFrame, a, _boom(a))
+        for name, fn in QUERIES.items():
+            fn(spark, SF)
+    finally:
+        for a, f in saved.items():
+            setattr(DataFrame, a, f)
