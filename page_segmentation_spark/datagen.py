@@ -252,6 +252,11 @@ def hostile_page(shape: str, doc_id: int, seed: int = 42) -> Dict[str, object]:
             art.append(f"<p>{' '.join(toks)}</p>")
             gt_main.append(" ".join(p.split()))
         body.append("<article>" + "".join(art) + "</article>")
+        # the trap is link-dense MAIN prose next to genuinely link-dense
+        # furniture — probe the furniture so the leakage check can fail
+        ad = rng.choice(_AD_TEXTS)
+        boiler_probe += [ad, "© 2024 Example Corp."]
+        body.append(f'<div class="ad"><a href="/ad">{ad}</a></div>')
     elif shape == "cookie_banner":
         legalese = (
             "We and our 842 partners use cookies and similar technologies "
@@ -288,6 +293,15 @@ def hostile_page(shape: str, doc_id: int, seed: int = 42) -> Dict[str, object]:
             "<article>"
             + f"<h1>{title}</h1><div>{spans_html}</div>"
             + "</article>"
+        )
+        # span-soup furniture: a span-built promo block outside the
+        # article, same markup style as the main body (plus the footer
+        # signature) — probes so the leakage check is non-vacuous
+        ad = rng.choice(_AD_TEXTS)
+        boiler_probe += [ad, "© 2024 Example Corp."]
+        body.append(
+            f'<div class="promo"><span>{ad} </span>'
+            f'<span>Limited time offer </span></div>'
         )
     else:  # table_layout
         nav_cell = "".join(
