@@ -198,6 +198,26 @@ def text_stats(
     }
 
 
+#: container-transducer base state: scanning an EMPTY stack with incoming
+#: deferred d yields d itself, for d in ("", "header", "footer").
+_CTX0 = ("", "header", "footer")
+
+# one-dict tag dispatch: the handlers previously probed up to four
+# frozensets per tag; a single bitmask lookup replaces them (semantics
+# unchanged — the mask is BUILT from the same sets).
+_K_SKIP, _K_MEDIA, _K_BLOCK, _K_VOID = 1, 2, 4, 8
+_TAG_KIND: Dict[str, int] = {}
+for _t in SKIP_TAGS:
+    _TAG_KIND[_t] = _TAG_KIND.get(_t, 0) | _K_SKIP
+for _t in MEDIA_TAGS:
+    _TAG_KIND[_t] = _TAG_KIND.get(_t, 0) | _K_MEDIA
+for _t in BLOCK_TAGS:
+    _TAG_KIND[_t] = _TAG_KIND.get(_t, 0) | _K_BLOCK
+for _t in VOID_TAGS:
+    _TAG_KIND[_t] = _TAG_KIND.get(_t, 0) | _K_VOID
+del _t
+
+
 class _BlockCollector(HTMLParser):
     """Streams text into the nearest open block element; flushes a node on
     every block boundary.  Anchor (<a>) nesting is tracked so link-char
@@ -208,7 +228,12 @@ class _BlockCollector(HTMLParser):
         self.max_nodes = max_nodes
         self.nodes: List[Dict[str, Any]] = []
         self._stack: List[str] = []  # open elements (incl. inline)
-        self._boiler_flags: List[bool] = []  # lockstep with _stack
+        # container-transducer states, lockstep with _stack: _ctx[i] is
+        # the triple (g(""), g("header"), g("footer")) where g(d) is the
+        # container resolved by scanning stack[0..i] top-down with
+        # incoming deferred d — see _push_ctx.  Makes every container
+        # query O(1) instead of an O(depth) stack walk per block event.
+        self._ctx: List[tuple] = []
         self._skip_depth = 0  # >0 while inside SKIP_TAGS
         self._anchor_depth = 0  # >0 while inside <a>
         self._buf: List[str] = []  # raw text parts of current chunk
@@ -217,38 +242,49 @@ class _BlockCollector(HTMLParser):
         self._block_depth = 0
         self._block_container = ""
 
-    def _current_container(
-        self, extra_tag: str | None = None, extra_flag: bool = False
-    ) -> str:
-        """Innermost semantic sectioning ancestor on the open stack
-        (optionally with a not-yet-pushed element on top):
+    def _push_ctx(self, tag: str, boiler: bool) -> None:
+        """Push the container state for a newly-opened element.
 
+        Semantics (identical to the old innermost-ancestor stack walk):
           * class/id-flagged boilerplate wrappers count as 'aside';
           * header/footer defer to an ENCLOSING article/main (HTML5
             scoping: an article's own <header> belongs to the article,
             only sectioning-root headers/footers are page furniture).
+        Each state is the scan result for every possible incoming
+        deferred value, so push/pop compose in O(1).
         """
-        deferred = ""
-        if extra_tag is not None:
-            if extra_flag:
-                return "aside"
-            if extra_tag in ("header", "footer"):
-                deferred = extra_tag
-            elif extra_tag in SEMANTIC_CONTAINERS:
-                return extra_tag
-        stack, flags = self._stack, self._boiler_flags
-        for i in range(len(stack) - 1, -1, -1):
-            if flags[i]:
-                return deferred or "aside"
-            t = stack[i]
-            if t in ("header", "footer"):
-                if not deferred:
-                    deferred = t
-            elif t in ("article", "main"):
-                return t
-            elif t in SEMANTIC_CONTAINERS:  # aside / nav
-                return deferred or t
-        return deferred
+        ctx = self._ctx
+        T = ctx[-1] if ctx else _CTX0
+        if boiler:
+            ctx.append(("aside", "header", "footer"))
+        elif tag == "header":
+            ctx.append((T[1], T[1], T[2]))
+        elif tag == "footer":
+            ctx.append((T[2], T[1], T[2]))
+        elif tag in ("article", "main"):
+            ctx.append((tag, tag, tag))
+        elif tag in ("aside", "nav"):
+            ctx.append((tag, "header", "footer"))
+        else:
+            ctx.append(T)  # transparent element: share the state tuple
+
+    def _current_container(
+        self, extra_tag: str | None = None, extra_flag: bool = False
+    ) -> str:
+        """Innermost semantic sectioning ancestor (O(1) via _ctx),
+        optionally with a not-yet-pushed element on top."""
+        T = self._ctx[-1] if self._ctx else _CTX0
+        if extra_tag is None:
+            return T[0]
+        if extra_flag:
+            return "aside"
+        if extra_tag == "header":
+            return T[1]
+        if extra_tag == "footer":
+            return T[2]
+        if extra_tag in SEMANTIC_CONTAINERS:
+            return extra_tag
+        return T[0]
 
     # -- node emission -------------------------------------------------
     def _flush(self) -> None:
@@ -261,10 +297,13 @@ class _BlockCollector(HTMLParser):
         if not text:
             self._buf_link = []
             return
-        link_parts = "".join(self._buf_link).split()
-        # len of the normalized link text without building the string
-        n_link = sum(map(len, link_parts)) + max(0, len(link_parts) - 1)
-        self._buf_link = []
+        if self._buf_link:  # most nodes carry no links: skip the rebuild
+            link_parts = "".join(self._buf_link).split()
+            # len of the normalized link text without building the string
+            n_link = sum(map(len, link_parts)) + max(0, len(link_parts) - 1)
+            self._buf_link = []
+        else:
+            n_link = 0
         self._emit(self._block_tag, self._block_depth, text, n_link, toks)
 
     def _emit(
@@ -272,33 +311,34 @@ class _BlockCollector(HTMLParser):
     ) -> None:
         if len(self.nodes) >= self.max_nodes:
             return
-        rec: Dict[str, Any] = {
-            "node_idx": len(self.nodes),
-            "tag": tag,
-            "container": self._block_container,
-            "depth": depth,
-            "text": text,
-            "is_fg": len(text) > 0,
-        }
-        rec.update(text_stats(text, n_link, toks))
+        # build ONE dict: text_stats' result gains the id fields in place
+        # (consumers address fields by name, never by key order)
+        rec: Dict[str, Any] = text_stats(text, n_link, toks)
+        rec["node_idx"] = len(self.nodes)
+        rec["tag"] = tag
+        rec["container"] = self._block_container
+        rec["depth"] = depth
+        rec["text"] = text
+        rec["is_fg"] = len(text) > 0
         self.nodes.append(rec)
 
     # -- HTMLParser hooks ------------------------------------------------
     def handle_starttag(self, tag, attrs):  # noqa: D401
-        if tag in SKIP_TAGS:
+        kind = _TAG_KIND.get(tag, 0)
+        if kind & _K_SKIP:
             self._flush()
             self._skip_depth += 1
-            if tag not in VOID_TAGS:
+            if not kind & _K_VOID:
                 self._stack.append(tag)
-                self._boiler_flags.append(False)
+                self._push_ctx(tag, False)
             return
         boiler = _attrs_boiler(attrs)
         if self._skip_depth == 0:
-            if tag in MEDIA_TAGS:
+            if kind & _K_MEDIA:
                 self._flush()
                 self._block_container = self._current_container()
                 self._emit(tag, len(self._stack), "", 0)
-            elif tag in BLOCK_TAGS:
+            elif kind & _K_BLOCK:
                 self._flush()
                 if tag not in ("br", "hr"):
                     self._block_tag = tag
@@ -310,28 +350,38 @@ class _BlockCollector(HTMLParser):
                     )
             elif tag == "a":
                 self._anchor_depth += 1
-        if tag not in VOID_TAGS:
+        if not kind & _K_VOID:
             self._stack.append(tag)
-            self._boiler_flags.append(boiler)
+            self._push_ctx(tag, boiler)
 
     def handle_endtag(self, tag):
-        if tag in VOID_TAGS:
+        kind = _TAG_KIND.get(tag, 0)
+        if kind & _K_VOID:
             return
-        # pop to the matching open tag (tolerant of malformed nesting)
-        if tag in self._stack:
-            while self._stack:
-                top = self._stack.pop()
-                self._boiler_flags.pop()
+        stack = self._stack
+        # fast path: well-formed nesting closes the top of the stack
+        if stack and stack[-1] == tag:
+            stack.pop()
+            self._ctx.pop()
+            if kind & _K_SKIP:
+                self._skip_depth = max(0, self._skip_depth - 1)
+            elif tag == "a":
+                self._anchor_depth = max(0, self._anchor_depth - 1)
+        elif tag in stack:
+            # pop to the matching open tag (tolerant of malformed nesting)
+            while stack:
+                top = stack.pop()
+                self._ctx.pop()
                 if top in SKIP_TAGS:
                     self._skip_depth = max(0, self._skip_depth - 1)
                 elif top == "a":
                     self._anchor_depth = max(0, self._anchor_depth - 1)
                 if top == tag:
                     break
-        if self._skip_depth == 0 and tag in BLOCK_TAGS:
+        if self._skip_depth == 0 and kind & _K_BLOCK:
             self._flush()
             self._block_tag = "body"
-            self._block_depth = max(0, len(self._stack))
+            self._block_depth = len(stack)
             self._block_container = self._current_container()
 
     def handle_startendtag(self, tag, attrs):

@@ -85,6 +85,8 @@ def parse_pages(pages: DataFrame, max_nodes: int = MAX_NODES_PER_DOC) -> DataFra
             htmls = batch.column("html").to_pylist()
             cols: dict = {c: [] for c in _COLS}
             url_out = cols["url"]
+            # bound appenders once: ~14 dict lookups saved per node
+            appenders = [(k, cols[k].append) for k in NODE_FIELDS]
             for url, html in zip(urls, htmls):
                 recs = parse_page(html, max_nodes=max_nodes)
                 if not recs:
@@ -94,8 +96,8 @@ def parse_pages(pages: DataFrame, max_nodes: int = MAX_NODES_PER_DOC) -> DataFra
                     recs = [_SENTINEL]
                 for rec in recs:
                     url_out.append(url)
-                    for k in NODE_FIELDS:
-                        cols[k].append(rec[k])
+                    for k, ap in appenders:
+                        ap(rec[k])
             yield pa.RecordBatch.from_pydict(cols, schema=ARROW_SCHEMA)
 
     return pruned.mapInArrow(parse_batches, schema=NODE_SCHEMA)
