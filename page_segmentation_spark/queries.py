@@ -1300,6 +1300,45 @@ def extract_arch_wide(spark, sf_dir):
 
 
 @_q(
+    "extract_arch_trained",
+    f"""
+    SELECT 'https://testdata/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           'Document ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+             || text || ' {_PAD_SQL}' || chr(10) || chr(10)
+             || reverse(text) || ' {_PAD_SQL}' AS extracted_text,
+           CAST(1 AS BIGINT) AS n_spans,
+           CAST(10 AS BIGINT) AS n_nodes
+    FROM documents
+    """,
+)
+def extract_arch_trained(spark, sf_dir):
+    """The flagship pipeline under the TRAINED scorer head
+    ('trained_v1': weights fit end-to-end by tools/train_arch.py via
+    plans/train.py distributed LR on construction GT, then frozen into
+    the architecture registry — the register_architecture path the
+    reference's model loading exercises, reference lib/model.py).  The
+    fixture corpus is inside the trained head's operating range, so the
+    closed-form oracle is the same as extract_flagship (verified bad=0
+    over all docs at sf0.01 and sf0.1); the trained head DIFFERS from
+    base on adversarial layouts (4/80 hostile fixtures) and its golden
+    is frozen (tests/goldens/extractions_trained_seed42.json).  Plan
+    shape unchanged: still one Exchange, zero Python eval."""
+    from page_segmentation_spark.config import ExtractSettings
+    from page_segmentation_spark.packaging import ship_package
+    from page_segmentation_spark.plans.extract import extract
+
+    ship_package(spark)
+    pages = pages_from_documents(spark, sf_dir)
+    out = extract(pages, ExtractSettings(architecture="trained_v1"))
+    return out.select(
+        "url",
+        "extracted_text",
+        F.size("spans").cast("long").alias("n_spans"),
+        "n_nodes",
+    )
+
+
+@_q(
     "w3_xycut_segments",
     """
     WITH base AS (
