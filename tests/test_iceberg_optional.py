@@ -32,7 +32,14 @@ _JARS = os.environ.get("PSS_ICEBERG_JARS", "")
 pytestmark = pytest.mark.skipif(
     not (_PACKAGES or _JARS),
     reason="Iceberg runtime not available: set PSS_ICEBERG_PACKAGES "
-    "(maven coordinates) or PSS_ICEBERG_JARS (local jar paths)",
+    "(maven coordinates) or PSS_ICEBERG_JARS (local jar paths).  "
+    "Vendoring was ATTEMPTED in this sandbox (2026-08-17): no iceberg "
+    "jar exists anywhere on disk (`find / -name '*iceberg*'` -> none; "
+    "~/.ivy2 and ~/.m2 absent) and `spark-submit --packages "
+    "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.8.1` fails "
+    "with 'unresolved dependency: ...iceberg-spark-runtime-4.0_2.13;"
+    "1.8.1: not found' (no network) — the gap is environmental, not a "
+    "code gap",
 )
 
 _JOB = textwrap.dedent(
