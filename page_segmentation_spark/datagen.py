@@ -535,6 +535,134 @@ def build_cid_pdf(
     return bytes(out)
 
 
+def build_xref_pdf(
+    blocks: List[tuple],
+    xref_stream: bool = False,
+    predictor: bool = False,
+    form_xobject: bool = False,
+    endobj_trap: bool = False,
+) -> bytes:
+    """Single-page PDF exercising the xref-driven resolution paths:
+
+      * ``xref_stream``  — cross-reference as a /Type /XRef stream
+        (W [1 4 2], FlateDecode), optionally with the PNG Up predictor
+        (``predictor``, /Predictor 12) — the PDF 1.5+ shape;
+      * ``form_xobject`` — all body blocks after the first live in a
+        /Subtype /Form XObject invoked via ``/Fm1 Do`` mid-content;
+      * ``endobj_trap``  — a binary /Image XObject whose payload embeds
+        ``endobj`` and a FAKE ``5 0 obj`` header that poisons the regex
+        object scan (the font object); only xref resolution survives.
+
+    Text content and order are identical to :func:`build_pdf` for the
+    same blocks, so extraction must be byte-identical across container
+    formats (pinned by tests)."""
+    import zlib as _zlib
+
+    ops, y = [], 760
+    for size, text in blocks:
+        ops.append(
+            f"BT /F1 {size:g} Tf 72 {y} Td ({_pdf_escape(text)}) Tj ET"
+        )
+        y -= 20
+    if form_xobject and len(ops) > 1:
+        head_ops, form_ops = ops[:1], ops[1:]
+        form_body = "\n".join(form_ops).encode("latin-1", errors="replace")
+        content = ("\n".join(head_ops) + "\n/Fm1 Do\n").encode(
+            "latin-1", errors="replace"
+        )
+    else:
+        form_body = None
+        content = "\n".join(ops).encode("latin-1", errors="replace")
+
+    res = b"/Resources << /Font << /F1 5 0 R >>"
+    if form_body is not None:
+        res += b" /XObject << /Fm1 6 0 R >>"
+    res += b" >>"
+    objs: Dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Contents 4 0 R " + res + b" >>",
+        4: f"<< /Length {len(content)} >>\nstream\n".encode("ascii")
+           + content + b"\nendstream",
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    if form_body is not None:
+        objs[6] = (
+            f"<< /Type /XObject /Subtype /Form /Length {len(form_body)} "
+            f">>\nstream\n".encode("ascii") + form_body + b"\nendstream"
+        )
+    if endobj_trap:
+        # fake headers for the font (5) and form (6) objects: the regex
+        # scan's later-match-wins dict maps them to the poisoned bodies,
+        # so regex-only resolution loses the Form XObject (its Do site
+        # silently skips); the xref overlay restores the real bodies
+        trap = (
+            b"\x00\x01BINARY\nendobj\n5 0 obj\n<< /Poisoned >>\nendobj\n"
+            b"6 0 obj\n<< /Poisoned >>\nendobj\n\x02\x03MORE"
+        )
+        objs[7] = (
+            f"<< /Type /XObject /Subtype /Image /Length {len(trap)} "
+            f">>\nstream\n".encode("ascii") + trap + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: Dict[int, int] = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode("ascii") + objs[num] + b"\nendobj\n"
+
+    max_obj = max(objs)
+    if not xref_stream:
+        xref_at = len(out)
+        out += f"xref\n0 {max_obj + 1}\n0000000000 65535 f \n".encode("ascii")
+        for num in range(1, max_obj + 1):
+            off = offsets.get(num, 0)
+            kind = "n" if num in offsets else "f"
+            gen = "00000" if num in offsets else "65535"
+            out += f"{off:010d} {gen} {kind} \n".encode("ascii")
+        out += (
+            f"trailer\n<< /Size {max_obj + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n"
+        ).encode("ascii")
+        return bytes(out)
+
+    # xref STREAM: W [1 4 2]; entry rows for objects 0..max_obj+1
+    # (the stream object itself is the last entry)
+    xref_num = max_obj + 1
+    xref_at = len(out)
+    rows = []
+    rows.append((0, 0, 65535))  # object 0: free
+    for num in range(1, max_obj + 1):
+        rows.append((1, offsets.get(num, 0), 0))
+    rows.append((1, xref_at, 0))  # the xref stream object
+    raw = b"".join(
+        bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        for t, f2, f3 in rows
+    )
+    parms = b""
+    if predictor:
+        row_w = 7
+        enc = bytearray()
+        prev = bytes(row_w)
+        for i in range(0, len(raw), row_w):
+            row = raw[i: i + row_w]
+            enc.append(2)  # PNG Up filter
+            enc += bytes((row[j] - prev[j]) & 0xFF for j in range(row_w))
+            prev = row
+        raw = bytes(enc)
+        parms = b" /DecodeParms << /Predictor 12 /Columns 7 >>"
+    payload = _zlib.compress(raw, 6)
+    out += (
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {xref_num + 1} "
+        f"/Index [0 {xref_num + 1}] /W [1 4 2] /Root 1 0 R "
+        f"/Length {len(payload)} /Filter /FlateDecode".encode("ascii")
+        + parms + b" >>\nstream\n" + payload + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode("ascii")
+    return bytes(out)
+
+
 def make_pdf_page(doc_id: int, seed: int = 42) -> Dict[str, object]:
     """Deterministic PDF page row (same input_hint shape as make_page):
     title (h1-sized), body paragraphs, and a URL-bearing footer line.
@@ -552,7 +680,19 @@ def make_pdf_page(doc_id: int, seed: int = 42) -> Dict[str, object]:
         "for the legal notices"
     )
     blocks = [(24, title)] + [(11, p) for p in paras] + [(9, footer)]
-    pdf = build_pdf(blocks, compress=(doc_id % 2 == 1))
+    # container-format rotation: same text blocks in every PDF 1.4/1.5
+    # shape the parser supports — raw, FlateDecode, xref STREAM with the
+    # Up predictor, Form-XObject body with an endobj-poisoning image
+    # stream.  Extraction (and thus all goldens/oracles) is identical
+    # across variants by construction; the rotation makes the flagship
+    # corpus exercise the xref-driven and Do-expansion paths.
+    variant = doc_id % 4
+    if variant == 2:
+        pdf = build_xref_pdf(blocks, xref_stream=True, predictor=True)
+    elif variant == 3:
+        pdf = build_xref_pdf(blocks, form_xobject=True, endobj_trap=True)
+    else:
+        pdf = build_pdf(blocks, compress=(doc_id % 2 == 1))
     ts = dt.datetime(2024, 1, 1) + dt.timedelta(seconds=doc_id % 31_536_000)
     return {
         "url": f"https://example-{doc_id % 1000}.test/doc/{doc_id}.pdf",

@@ -35,18 +35,27 @@ Scope (documented, honest): minimal text extraction for text-op PDFs —
     comes from URL-shaped tokens in the visible text, a deterministic,
     content-based heuristic.
 
-The object map is regex-scanned (``N 0 obj .. endobj``), not xref-driven:
-a binary stream payload containing the byte string ``endobj`` can
-truncate that one entry, in which case the affected font/CMap lookup is
-skipped — content extraction itself never depends on the object map.
-Anything outside this scope (encrypted PDFs, CIDToGIDMap-only fonts
-without /ToUnicode, content in XObjects) parses to whatever text ops are
-visible — never an error (malformed inputs must not fail a batch, same
-contract as parse_html).
+Object resolution is XREF-DRIVEN with a regex fallback: the trailer's
+``startxref`` is followed to a classic xref table or an xref stream
+(``/Type /XRef`` — /W field widths, /Index subsections, FlateDecode,
+PNG Up/Sub/None row predictors, /Prev incremental-update chains), and
+xref-resolved bodies OVERLAY the ``N 0 obj .. endobj`` regex scan — so a
+binary stream payload containing the byte string ``endobj`` no longer
+corrupts the object map when the file carries a valid xref (the regex
+scan remains the fallback for xref-less or damaged files, and content
+extraction itself never depends on the object map).  Content inside
+``/Subtype /Form`` XObjects is walked INLINE at each ``/Name Do``
+invocation site (recursion bounded, cycles guarded), with the carried
+font state flowing in and out — the standard real-crawl shape where
+letterhead/body live in form XObjects.  Anything outside this scope
+(encrypted PDFs, CIDToGIDMap-only fonts without /ToUnicode) parses to
+whatever text ops are visible — never an error (malformed inputs must
+not fail a batch, same contract as parse_html).
 """
 
 from __future__ import annotations
 
+import bisect
 import re
 import zlib
 from typing import Any, Dict, List, Optional, Tuple
@@ -54,6 +63,36 @@ from typing import Any, Dict, List, Optional, Tuple
 from page_segmentation_spark.html_parse import text_stats
 
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
+
+
+def _own_dict(d: bytes) -> bytes:
+    """The stream's OWN dictionary content from a _STREAM_RE capture.
+
+    The non-greedy ``<<(.*?)>>\\s*stream`` match opens at the FIRST
+    ``<<`` before the stream keyword, which may belong to an EARLIER
+    object (e.g. a page dictionary whose /Resources mention /XObject) —
+    interpreting that junk prefix as the stream's dict mis-classifies
+    the stream.  A balanced ``<< >>`` scan finds the last opening that
+    never re-closes inside the capture: everything after it is the
+    stream's own dict (the whole capture when it is already clean)."""
+    depth = 0
+    start = -1
+    i, n = 0, len(d)
+    while i < n - 1:
+        pair = d[i: i + 2]
+        if pair == b"<<":
+            if depth == 0:
+                start = i
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth = max(0, depth - 1)
+            i += 2
+        else:
+            i += 1
+    if depth == 0 or start < 0:
+        return d
+    return d[start + 2:]
 _BT_RE = re.compile(rb"\bBT\b(.*?)\bET\b", re.S)
 _TF_RE = re.compile(rb"/([A-Za-z0-9]+)\s+([0-9]+(?:\.[0-9]+)?)\s+Tf")
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)\bendobj", re.S)
@@ -180,20 +219,17 @@ def _object_stream_payload(
     m = _STREAM_RE.search(body)
     if not m:
         return None
-    payload = _slice_payload(body, m.end(), m.group(1), objects)
+    d = _own_dict(m.group(1))
+    payload = _slice_payload(body, m.end(), d, objects)
     if payload is None:
         return None
-    return _maybe_inflate(payload, m.group(1))
+    return _maybe_inflate(payload, d)
 
 
-def parse_objects(data: bytes) -> Dict[int, bytes]:
-    """Object number -> body bytes, including objects unpacked from
-    compressed object streams (``/Type /ObjStm``: header of N
-    (objnum, offset) integer pairs, then the serialized objects at
-    /First + offset)."""
-    objs: Dict[int, bytes] = {
-        int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)
-    }
+def _unpack_objstm(objs: Dict[int, bytes], overwrite: bool = False) -> None:
+    """Unpack ``/Type /ObjStm`` compressed object streams found in
+    ``objs`` into individual entries (header of N (objnum, offset)
+    integer pairs, then the serialized objects at /First + offset)."""
     for body in list(objs.values()):
         if b"/ObjStm" not in body:
             continue
@@ -211,7 +247,226 @@ def parse_objects(data: bytes) -> Dict[int, bytes]:
         ]
         for i, (onum, off) in enumerate(pairs):
             end = pairs[i + 1][1] if i + 1 < n else len(payload) - first
-            objs.setdefault(onum, payload[first + off: first + end])
+            piece = payload[first + off: first + end]
+            if overwrite:
+                objs[onum] = piece
+            else:
+                objs.setdefault(onum, piece)
+
+
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+_XREF_ENTRY_RE = re.compile(rb"(\d{10})\s(\d{5})\s([nf])")
+_OBJ_HEADER_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_PREV_RE = re.compile(rb"/Prev\s+(\d+)")
+
+
+def _png_unpredict(raw: bytes, row_w: int, predictor: int) -> Optional[bytes]:
+    """Undo PNG row predictors on xref-stream data (/Predictor >= 10:
+    each row is filter-byte + row_w data bytes; xref writers use
+    None/Sub/Up in practice — Average/Paeth included for completeness)."""
+    if predictor < 10:
+        return raw
+    stride = row_w + 1
+    if stride <= 1 or len(raw) % stride:
+        return None
+    out = bytearray()
+    prev = bytearray(row_w)
+    for base in range(0, len(raw), stride):
+        ftype = raw[base]
+        line = bytearray(raw[base + 1: base + stride])
+        if ftype == 1:  # Sub (bpp = 1 for xref columns)
+            for i in range(1, row_w):
+                line[i] = (line[i] + line[i - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(row_w):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(row_w):
+                a = line[i - 1] if i else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(row_w):
+                a = line[i - 1] if i else 0
+                c = prev[i - 1] if i else 0
+                b = prev[i]
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def parse_xref(
+    data: bytes,
+) -> Tuple[Dict[int, int], Dict[int, Tuple[int, int]]]:
+    """Follow ``startxref`` to the xref (classic table or xref stream,
+    with /Prev incremental-update chains) and return
+
+        (offsets, in_stream): {objnum: byte offset},
+                              {objnum: (objstm objnum, index)}
+
+    Empty dicts when the file has no parseable xref — callers fall back
+    to the regex object scan.  Newer xrefs in a /Prev chain win (the
+    chain is walked newest-first and entries are set-if-absent)."""
+    offsets: Dict[int, int] = {}
+    in_stream: Dict[int, Tuple[int, int]] = {}
+    m = None
+    for m in _STARTXREF_RE.finditer(data[-2048:] if len(data) > 2048 else data):
+        pass  # last startxref wins (incremental updates append)
+    if m is None:
+        return offsets, in_stream
+    seen: set = set()
+    off = int(m.group(1))
+    while off not in seen and 0 <= off < len(data):
+        seen.add(off)
+        chunk = data[off:]
+        if chunk.lstrip()[:4] == b"xref":
+            nxt = _parse_xref_table(chunk, offsets, in_stream)
+        else:
+            nxt = _parse_xref_stream(data, off, offsets, in_stream)
+        if nxt is None:
+            break
+        off = nxt
+    return offsets, in_stream
+
+
+def _parse_xref_table(chunk: bytes, offsets, in_stream) -> Optional[int]:
+    """Classic xref table at ``chunk`` start; fills entry dicts
+    (set-if-absent) and returns the trailer's /Prev offset or None."""
+    pos = chunk.find(b"xref") + 4
+    trailer_at = chunk.find(b"trailer", pos)
+    section = chunk[pos: trailer_at if trailer_at >= 0 else pos + 65536]
+    lines_pos = 0
+    body = section
+    while True:
+        m_sec = re.match(rb"\s*(\d+)\s+(\d+)\s*[\r\n]+", body[lines_pos:])
+        if not m_sec:
+            break
+        start, count = int(m_sec.group(1)), int(m_sec.group(2))
+        lines_pos += m_sec.end()
+        for k in range(count):
+            m_e = _XREF_ENTRY_RE.match(body, lines_pos)
+            if not m_e:
+                return None
+            if m_e.group(3) == b"n":
+                offsets.setdefault(start + k, int(m_e.group(1)))
+            lines_pos = m_e.end()
+            # entries are 20 bytes; tolerate \r\n vs \n via regex match
+            while lines_pos < len(body) and body[lines_pos] in b"\r\n ":
+                lines_pos += 1
+    if trailer_at < 0:
+        return None
+    m_prev = _PREV_RE.search(chunk[trailer_at: trailer_at + 2048])
+    return int(m_prev.group(1)) if m_prev else None
+
+
+def _parse_xref_stream(data, off, offsets, in_stream) -> Optional[int]:
+    """Xref STREAM at byte ``off`` (/Type /XRef): /W field widths,
+    /Index subsections, FlateDecode + PNG predictors.  Fills entry dicts
+    (set-if-absent); returns /Prev or None."""
+    m_h = _OBJ_HEADER_RE.match(data, off) or _OBJ_HEADER_RE.search(
+        data, off, off + 64
+    )
+    if not m_h:
+        return None
+    m_s = _STREAM_RE.search(data, m_h.end())
+    if not m_s:
+        return None
+    d = _own_dict(m_s.group(1))
+    if b"/XRef" not in d:
+        return None
+    payload = _slice_payload(data, m_s.end(), d)
+    if payload is None:
+        return None
+    payload = _maybe_inflate(payload, d)
+    if payload is None:
+        return None
+    m_w = re.search(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", d)
+    if not m_w:
+        return None
+    w1, w2, w3 = (int(m_w.group(i)) for i in (1, 2, 3))
+    m_pred = re.search(rb"/Predictor\s+(\d+)", d)
+    if m_pred:
+        payload = _png_unpredict(payload, w1 + w2 + w3, int(m_pred.group(1)))
+        if payload is None:
+            return None
+    m_size = re.search(rb"/Size\s+(\d+)", d)
+    m_idx = re.search(rb"/Index\s*\[((?:\s*\d+)+)\s*\]", d)
+    if m_idx:
+        nums = [int(x) for x in m_idx.group(1).split()]
+        sections = list(zip(nums[0::2], nums[1::2]))
+    elif m_size:
+        sections = [(0, int(m_size.group(1)))]
+    else:
+        return None
+    row_w = w1 + w2 + w3
+    pos = 0
+    for start, count in sections:
+        for k in range(count):
+            if pos + row_w > len(payload):
+                return None
+            row = payload[pos: pos + row_w]
+            pos += row_w
+            f1 = int.from_bytes(row[:w1], "big") if w1 else 1
+            f2 = int.from_bytes(row[w1: w1 + w2], "big")
+            f3 = int.from_bytes(row[w1 + w2:], "big")
+            onum = start + k
+            if f1 == 1:
+                offsets.setdefault(onum, f2)
+            elif f1 == 2:
+                in_stream.setdefault(onum, (f2, f3))
+    m_prev = _PREV_RE.search(d)
+    return int(m_prev.group(1)) if m_prev else None
+
+
+def _xref_object_bodies(data: bytes) -> Dict[int, bytes]:
+    """Object bodies resolved through the xref: each type-1 entry's body
+    spans from its ``N g obj`` header to the LAST ``endobj`` before the
+    next known object offset — immune to payloads containing the byte
+    string ``endobj`` (the regex scan's one failure mode).  Type-2
+    entries are unpacked from their object streams afterwards."""
+    offsets, in_stream = parse_xref(data)
+    if not offsets and not in_stream:
+        return {}
+    objs: Dict[int, bytes] = {}
+    bounds = sorted(offsets.values()) + [len(data)]
+    for onum, off in offsets.items():
+        m_h = _OBJ_HEADER_RE.match(data, off) or _OBJ_HEADER_RE.search(
+            data, off, off + 32
+        )
+        if not m_h or int(m_h.group(1)) != onum:
+            continue
+        nxt = bounds[bisect.bisect_right(bounds, off)]
+        end = data.rfind(b"endobj", m_h.end(), nxt)
+        if end < 0:
+            end = data.find(b"endobj", m_h.end())
+            if end < 0:
+                continue
+        objs[onum] = data[m_h.end(): end].strip(b"\r\n ")
+    _unpack_objstm(objs, overwrite=False)
+    # type-2 entries the header walk may have missed resolve via the
+    # generic unpack; nothing more to do — setdefault keeps xref wins
+    return objs
+
+
+def parse_objects(data: bytes) -> Dict[int, bytes]:
+    """Object number -> body bytes: regex scan (``N 0 obj .. endobj``)
+    OVERLAID by xref-resolved bodies (authoritative where present — a
+    binary payload containing ``endobj`` corrupts only the regex scan),
+    including objects unpacked from compressed object streams."""
+    objs: Dict[int, bytes] = {
+        int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)
+    }
+    _unpack_objstm(objs, overwrite=False)
+    try:
+        xref_objs = _xref_object_bodies(data)
+    except Exception:
+        xref_objs = {}
+    objs.update(xref_objs)
     return objs
 
 
@@ -313,18 +568,50 @@ def content_streams(
     """All decoded content-stream payloads in byte order; FlateDecode
     streams are zlib-inflated, undecodable streams are skipped.  Streams
     that are machinery rather than page content (/ObjStm packing,
-    /ToUnicode CMaps) are excluded."""
+    /ToUnicode CMaps, xref streams) — or that render only when INVOKED
+    (/Subtype /Form XObjects, expanded inline at their Do sites; /Image
+    XObjects, binary) — are excluded."""
     out: List[bytes] = []
     for m in _STREAM_RE.finditer(data):
-        if b"/ObjStm" in m.group(1) or b"/ToUnicode" in m.group(1):
+        d = _own_dict(m.group(1))
+        if (
+            b"/ObjStm" in d
+            or b"/ToUnicode" in d
+            or b"/XRef" in d
+            or b"/XObject" in d
+        ):
             continue
-        payload = _slice_payload(data, m.end(), m.group(1), objects)
+        payload = _slice_payload(data, m.end(), d, objects)
         if payload is None:
             continue
-        payload = _maybe_inflate(payload, m.group(1))
+        payload = _maybe_inflate(payload, d)
         if payload is None:
             continue
         out.append(payload)
+    return out
+
+
+_XOBJ_RES_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.S)
+_DO_RE = re.compile(rb"/([A-Za-z0-9]+)\s+Do\b")
+
+
+def xobject_forms(
+    data: bytes, objects: Dict[int, bytes]
+) -> Dict[str, int]:
+    """Resource XObject name -> object number, for /Subtype /Form
+    XObjects only (images are binary, never walked).  Resources are
+    scanned in the raw bytes AND in ObjStm-unpacked bodies, mirroring
+    :func:`font_cmaps`'s name scoping (first binding wins — the 1-D
+    model's documented simplification for per-page resource shadowing)."""
+    scopes = [data] + [b for b in objects.values() if b"/XObject" in b]
+    out: Dict[str, int] = {}
+    for scope in scopes:
+        for m in _XOBJ_RES_RE.finditer(scope):
+            for fm in _FONT_REF_RE.finditer(m.group(1)):
+                onum = int(fm.group(2))
+                body = objects.get(onum)
+                if body is not None and b"/Form" in body:
+                    out.setdefault(fm.group(1).decode("latin-1"), onum)
     return out
 
 
@@ -415,6 +702,62 @@ def _url_link_chars(text: str) -> int:
     )
 
 
+#: recursion bound for nested Form XObjects (the spec allows nesting;
+#: real documents rarely exceed 2-3 levels — the bound plus the ancestor
+#: cycle guard makes the walk total on any input).
+MAX_FORM_DEPTH = 8
+
+
+def _walk_stream(
+    stream: bytes,
+    state: FontState,
+    blocks: List[tuple],
+    cmaps: Dict[str, Dict[int, str]],
+    forms: Dict[str, int],
+    objects: Dict[int, bytes],
+    depth: int = 0,
+    active: frozenset = frozenset(),
+) -> FontState:
+    """Walk one content stream in byte order: BT..ET segments become
+    blocks; ``/Name Do`` sites expand /Form XObject streams INLINE
+    (recursively, ancestors cycle-guarded), with the carried font state
+    flowing in and out exactly as the PDF graphics state does."""
+    events: List[tuple] = [
+        (m.start(), m.end(), "bt", m) for m in _BT_RE.finditer(stream)
+    ]
+    spans = [(s, e) for s, e, _k, _m in events]
+    for m in _DO_RE.finditer(stream):
+        # Do inside a text object is not a form invocation site
+        if any(s <= m.start() < e for s, e in spans):
+            continue
+        events.append((m.start(), m.end(), "do", m))
+    events.sort(key=lambda t: t[0])
+    pos = 0
+    for start, end, kind, m in events:
+        state = _apply_tf(stream[pos:start], state)
+        pos = end
+        if kind == "bt":
+            raw, size, state = _segment_text(m.group(1), state, cmaps)
+            text = " ".join(raw.split())
+            if text:
+                blocks.append((size, text))
+        else:
+            onum = forms.get(m.group(1).decode("latin-1"))
+            if onum is None or onum in active or depth >= MAX_FORM_DEPTH:
+                continue
+            body = objects.get(onum)
+            if body is None:
+                continue
+            payload = _object_stream_payload(body, objects)
+            if payload is None:
+                continue
+            state = _walk_stream(
+                payload, state, blocks, cmaps, forms, objects,
+                depth + 1, active | {onum},
+            )
+    return _apply_tf(stream[pos:], state)
+
+
 #: furniture threshold: a block whose font is below this fraction of the
 #: body size is layout furniture (footnote / running footer — footnotes
 #: are conventionally ~0.8x body).
@@ -455,18 +798,13 @@ def parse_pdf(
         # the map is incomplete
         objects = parse_objects(data)
         cmaps = font_cmaps(data, objects)
+        forms = xobject_forms(data, objects)
         blocks: List[tuple] = []
         state: FontState = ("", 0.0)
         for stream in content_streams(data, objects):
-            pos = 0
-            for m in _BT_RE.finditer(stream):
-                state = _apply_tf(stream[pos: m.start()], state)
-                raw, size, state = _segment_text(m.group(1), state, cmaps)
-                pos = m.end()
-                text = " ".join(raw.split())
-                if text:
-                    blocks.append((size, text))
-            state = _apply_tf(stream[pos:], state)
+            state = _walk_stream(
+                stream, state, blocks, cmaps, forms, objects
+            )
         body = _body_size(blocks)
         for size, text in blocks:
             if len(nodes) >= max_nodes:

@@ -251,3 +251,109 @@ def test_pdf_fixture_escaping_roundtrip(spark, tmp_path):
             " ".join(mangled[::-1].split())
         ) or nodes[2]["text"].startswith(" ".join(t[::-1].encode("utf-8").decode("latin-1").split()))
         assert len(nodes) == 4  # footer parsed too -> /Length exact
+
+
+# ---------------------------------------------------- xref + Form XObjects
+
+
+def _xref_blocks():
+    return [
+        (24, "The Actual Title"),
+        (11, "First body paragraph with enough words to look real."),
+        (11, "Second body paragraph, also part of the main content."),
+        (9, "Visit http://example.test/terms for the legal notices"),
+    ]
+
+
+def test_xref_stream_container_extracts_identically():
+    """The same blocks must extract byte-identically whether the file
+    carries a classic xref table, an xref stream, or a predictor-coded
+    xref stream (container format is invisible to the node contract)."""
+    from page_segmentation_spark.datagen import build_pdf, build_xref_pdf
+
+    want = [n["text"] for n in parse_pdf(build_pdf(_xref_blocks()))]
+    assert want, "baseline empty"
+    for kwargs in (
+        {},
+        {"xref_stream": True},
+        {"xref_stream": True, "predictor": True},
+    ):
+        got = [n["text"] for n in parse_pdf(build_xref_pdf(_xref_blocks(), **kwargs))]
+        assert got == want, kwargs
+
+
+def test_form_xobject_content_walked_inline():
+    """Body blocks living in a /Subtype /Form XObject (invoked via Do)
+    must extract at the invocation site, in order, with font-size tags
+    flowing through the form boundary."""
+    from page_segmentation_spark.datagen import build_pdf, build_xref_pdf
+
+    base = parse_pdf(build_pdf(_xref_blocks()))
+    for xs in (False, True):
+        nodes = parse_pdf(
+            build_xref_pdf(_xref_blocks(), form_xobject=True, xref_stream=xs)
+        )
+        assert [n["text"] for n in nodes] == [n["text"] for n in base], xs
+        assert [n["tag"] for n in nodes] == [n["tag"] for n in base], xs
+
+
+def test_endobj_trap_needs_xref_resolution():
+    """A binary payload embedding 'endobj' + fake object headers poisons
+    the regex object scan (the form body vanishes); the xref overlay
+    restores it.  Proves object resolution is genuinely xref-driven."""
+    from page_segmentation_spark import pdf_parse as P
+    from page_segmentation_spark.datagen import build_xref_pdf
+
+    data = build_xref_pdf(
+        _xref_blocks(), form_xobject=True, endobj_trap=True, xref_stream=True
+    )
+    # regex-only scan is poisoned: the fake 6 0 obj body hides /Form
+    regex_objs = {
+        int(m.group(1)): m.group(2) for m in P._OBJ_RE.finditer(data)
+    }
+    assert b"/Poisoned" in regex_objs[6]
+    # full resolution (xref overlay) recovers the real form
+    objs = P.parse_objects(data)
+    assert b"/Form" in objs[6]
+    texts = [n["text"] for n in parse_pdf(data)]
+    assert "First body paragraph with enough words to look real." in texts
+    assert "Second body paragraph, also part of the main content." in texts
+
+
+def test_xref_parse_classic_and_stream():
+    """parse_xref returns the same offsets for classic and stream xrefs
+    of the same object layout."""
+    from page_segmentation_spark import pdf_parse as P
+    from page_segmentation_spark.datagen import build_xref_pdf
+
+    classic = build_xref_pdf(_xref_blocks())
+    stream = build_xref_pdf(_xref_blocks(), xref_stream=True)
+    off_c, ins_c = P.parse_xref(classic)
+    off_s, ins_s = P.parse_xref(stream)
+    assert set(off_c) == {1, 2, 3, 4, 5}
+    assert {k: v for k, v in off_s.items() if k <= 5} == off_c
+    assert ins_c == {} and ins_s == {}
+
+
+def test_form_xobject_cycle_guard():
+    """A self-invoking form must terminate (ancestor cycle guard)."""
+    from page_segmentation_spark.datagen import build_xref_pdf
+
+    data = build_xref_pdf(_xref_blocks(), form_xobject=True)
+    # make the form invoke itself: append a Do to its own stream
+    data = data.replace(b"ET\nendstream", b"ET\n/Fm1 Do\nendstream", 1)
+    nodes = parse_pdf(data)  # must not hang or raise
+    assert any("First body paragraph" in n["text"] for n in nodes)
+
+
+def test_malformed_xref_falls_back_to_regex_scan():
+    """A corrupted startxref offset must degrade to the regex scan, not
+    lose the document."""
+    from page_segmentation_spark.datagen import build_xref_pdf
+
+    data = build_xref_pdf(_xref_blocks())
+    import re as _re
+
+    data = _re.sub(rb"startxref\s+\d+", b"startxref\n999999999", data)
+    texts = [n["text"] for n in parse_pdf(data)]
+    assert "The Actual Title" in texts
