@@ -112,6 +112,24 @@ def pii_count(text: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("long")
 
 
+#: portable host extraction (scheme optional, userinfo stripped, stops at
+#: path/port/query/fragment) — classes + alternation only, so Java regex
+#: (Spark) and RE2 (DuckDB) agree byte-for-byte.
+URL_HOST_RE = r"^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)"
+
+
+def url_host(url: Column) -> Column:
+    """Registered host of a URL — the C4-style per-host accounting key
+    (host frequency caps, per-domain sampling, blocklists all key on
+    it).  Pure regexp: no UDF, no driver work."""
+    return F.regexp_extract(url, URL_HOST_RE, 1)
+
+
+def url_host_sql(expr: str) -> str:
+    """DuckDB twin of :func:`url_host` as a SQL fragment."""
+    return f"regexp_extract({expr}, '{URL_HOST_RE}', 1)"
+
+
 def repetition_signals(
     df, id_col: str, text_col: str, extra_cols: tuple[str, ...] = ()
 ):

@@ -50,14 +50,20 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram array of the normalized text (filter() keeps
-    only full-length shingles; empty text -> empty array)."""
+    """Distinct word n-gram array of the normalized text; texts shorter
+    than ``n`` words yield an EMPTY array (guarded — an unconditional
+    sequence() produces a descending [0,-1] range for short texts and
+    slice(start=0) then errors; latent until n exceeded the shortest
+    fixture text)."""
     words = F.split(normalized(text), " ")
-    k = F.size(words) - (n - 1)
-    idxs = F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1)))
-    sh = F.transform(
-        idxs, lambda i: F.array_join(F.slice(words, i + 1, n), " ")
-    )
+    k = F.size(words) - (n - 1)  # number of full-length shingles
+    sh = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(sh)
 
 
@@ -332,6 +338,53 @@ def lsh_verified_pairs(
     # unrounded threshold (mirrors the oracle's WHERE); round for display
     return out.where(jac >= threshold).select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: drop every document sharing ANY word
+    ``n``-gram with the benchmark set (the GPT-3/PaLM training-data
+    hygiene step — n=13 is the published overlap width).
+
+    Scale shape at 10^12 docs: explode corpus n-grams (linear), hash
+    them to md5, hash-aggregate DISTINCT benchmark n-gram hashes (the
+    benchmark side is millions of rows, not trillions — Spark broadcasts
+    it when small), LEFT ANTI join corpus n-grams against them keyed by
+    the hash, then one distinct-keep aggregation per doc.  No step is
+    quadratic; joining on the hash keeps shuffle rows narrow.  Returns
+    the SURVIVING (id, n_grams, matched=false) rows plus dropped ids
+    flagged — callers keep `where(~contaminated)`."""
+    corpus = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("ng")
+    ).withColumn("ng_hash", F.md5(F.col("ng")))
+    bench_hashes = (
+        bench.select(F.explode(word_shingles(F.col(bench_text_col), n)).alias("ng"))
+        .select(F.md5(F.col("ng")).alias("ng_hash"))
+        .distinct()
+    )
+    hits = (
+        corpus.join(bench_hashes, "ng_hash", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        df.select(id_col)
+        .distinct()
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("contaminated"), F.lit(False)).alias(
+                "contaminated"
+            ),
+        )
     )
 
 

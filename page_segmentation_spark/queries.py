@@ -1074,6 +1074,78 @@ def dedup_paragraphs(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_decontaminate",
+    f"""
+    WITH w AS (
+      SELECT doc_id AS sid, string_split({_NORM_SQL}, ' ') AS words
+      FROM documents WHERE doc_id < 200
+    ), sh AS (
+      SELECT DISTINCT sid,
+             array_to_string(list_slice(words, i, i + 12), ' ') AS ng
+      FROM w, unnest(range(1, len(words) - 11)) AS t(i)
+      WHERE len(words) >= 13
+    ), bw AS (
+      SELECT string_split({_NORM_SQL}, ' ') AS words
+      FROM documents WHERE doc_id >= 150 AND doc_id < 170
+    ), bh AS (
+      SELECT DISTINCT array_to_string(list_slice(words, i, i + 12), ' ') AS ng
+      FROM bw, unnest(range(1, len(words) - 11)) AS t(i)
+      WHERE len(words) >= 13
+    ), hits AS (
+      SELECT DISTINCT sid FROM sh JOIN bh USING (ng)
+    )
+    SELECT d.doc_id, (h.sid IS NOT NULL) AS contaminated
+    FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 200) d
+    LEFT JOIN hits h ON d.doc_id = h.sid
+    """,
+)
+def dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM hygiene step): flag every
+    corpus document sharing ANY word 13-gram with a benchmark set (here
+    a doc_id slice standing in for an eval suite).  Linear explode +
+    hash-aggregate + left-semi join on the n-gram hash — the benchmark
+    side broadcasts at real-world sizes; nothing quadratic."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    bench = (
+        _t(spark, sf_dir, "documents")
+        .where((F.col("doc_id") >= 150) & (F.col("doc_id") < 170))
+        .select("text")
+    )
+    return D.decontaminate(d, bench, "doc_id", "text", n=13)
+
+
+@_q(
+    "text_url_hosts",
+    f"""
+    SELECT {T.url_host_sql(
+        "'https://' || source || '.example.test/doc/' "
+        "|| CAST(doc_id AS VARCHAR)")} AS host,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def text_url_hosts(spark, sf_dir):
+    """C4-style per-host accounting (host frequency caps, per-domain
+    sampling, and blocklists all key on the registered host): pure
+    regexp host extraction + one hash aggregation.  The fixture
+    synthesizes URLs from the documents' source column JVM-side."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.test/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    return (
+        d.select(T.url_host(url).alias("host"), "n_chars")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- flagship
 
 # fixed filler sentence appended to both fixture paragraphs (see below)

@@ -525,3 +525,71 @@ def test_repetition_signals_closed_form(spark):
     assert rows[1]["dup_2gram_frac"] == round(1.0 - 1 / 3.0, 6)
     assert rows[2]["top_word_frac"] == 0.25
     assert rows[2]["dup_2gram_frac"] == 0.0
+
+
+def test_word_shingles_short_text_yields_empty(spark):
+    """Texts shorter than n words must yield an EMPTY shingle array (the
+    unguarded sequence() version errored on slice start 0)."""
+    df = spark.createDataFrame(
+        [(0, "one two"), (1, "one two three four five")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", D.word_shingles(F.col("text"), 4).alias("sh")
+    ).collect()}
+    assert rows[0] == []
+    assert rows[1] == ["one two three four", "two three four five"]
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """A doc sharing any 5-gram with the benchmark set is contaminated;
+    others (including short docs) are not."""
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta"),
+            (1, "totally different words in this document here"),
+            (2, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("xx alpha beta gamma delta epsilon yy",)], "text string"
+    )
+    out = {r["doc_id"]: r["contaminated"] for r in D.decontaminate(
+        corpus, bench, "doc_id", "text", n=5
+    ).collect()}
+    assert out == {0: True, 1: False, 2: False}
+
+
+def test_decontaminate_plan_no_nested_loop(spark):
+    """The benchmark anti-join must be a hash join on the n-gram hash,
+    never a nested loop (quadratic at corpus scale)."""
+    corpus = spark.createDataFrame(
+        [(0, "a b c d e f g")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([("a b c d e",)], "text string")
+    plan = (
+        D.decontaminate(corpus, bench, "doc_id", "text", n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_url_host_extraction(spark):
+    from page_segmentation_spark.functions.text import url_host
+
+    df = spark.createDataFrame(
+        [
+            ("https://www.example.test/path?q=1",),
+            ("http://user:pw@sub.host.org:8080/x",),
+            ("www.bare.test/page",),
+            ("ftp://files.example.org/f",),
+        ],
+        "url string",
+    )
+    hosts = [r["h"] for r in df.select(url_host(F.col("url")).alias("h")).collect()]
+    assert hosts == [
+        "www.example.test", "sub.host.org", "www.bare.test",
+        "files.example.org",
+    ]
