@@ -41,7 +41,16 @@ def make_pyfiles_zip(out_path: str | None = None) -> str:
 
 
 def ship_package(spark) -> str:
-    """Build the zip and distribute it to executors (idempotent)."""
+    """Build the zip and distribute it to executors (idempotent).
+
+    When the package itself was imported FROM a ``--py-files`` zip
+    (spark-submit production path), ``_PKG_DIR`` is a path inside that
+    zip: it is not a walkable directory, and rebuilding would clobber
+    the already-registered archive with an empty one (addFile then
+    rejects the content mismatch).  The package is already on every
+    executor in that case, so shipping is a no-op."""
+    if not os.path.isdir(_PKG_DIR):
+        return _PKG_DIR
     path = make_pyfiles_zip()
     spark.sparkContext.addPyFile(path)
     return path

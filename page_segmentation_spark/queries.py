@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 from page_segmentation_spark import metrics as M
 from page_segmentation_spark.functions import text as T
 from page_segmentation_spark.functions.hashing import h32, h32_sql
+from page_segmentation_spark.operators import components as CC
 from page_segmentation_spark.operators import dedup as D
+from page_segmentation_spark.operators import sampling as SA
 from page_segmentation_spark.operators import similarity as S
 from page_segmentation_spark.operators.islands import with_islands
 from page_segmentation_spark.operators.splits import create_splits, single_split
@@ -760,6 +762,53 @@ def dedup_lsh_verified(spark, sf_dir):
     )
 
 
+@_q(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE sims AS ({_simhash_sql()}),
+    pairs AS (
+      SELECT a.sid AS id_a, b.sid AS id_b
+      FROM sims a JOIN sims b ON a.sid < b.sid
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT sid AS id, sid AS r FROM sims
+      UNION
+      SELECT e.dst AS id, reach.r AS r
+      FROM reach JOIN edges e ON e.src = reach.id
+    ),
+    comp AS (
+      SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component_id
+      FROM reach GROUP BY id
+    )
+    SELECT doc_id, component_id,
+           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+             AS cluster_size
+    FROM comp
+    """,
+)
+def dedup_components(spark, sf_dir):
+    """Duplicate-cluster connected components over simhash near-dup
+    pairs (hamming <= 8) — the step after pair generation that real
+    corpus dedup needs: pairs -> clusters -> keep min-id representative.
+    Spark side: iterated min-label propagation + pointer-jump
+    shortcutting (components.py); oracle: brute-force recursive-CTE
+    reachability (min reachable id).  Singletons are their own
+    component, so the row count is every doc, pairs or not."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    pairs = D.simhash_neardup_pairs(
+        d, "doc_id", "text", max_hamming=8, bits=64
+    ).persist()
+    labels = CC.connected_components(d, pairs, id_col="doc_id", iters=4)
+    return CC.with_cluster_stats(labels).select(
+        F.col("id").alias("doc_id"), "component_id", "cluster_size"
+    )
+
+
 # -------------------------------------------------------------- similarity
 
 def _dot_sql(a: str, b: str, dim: int = 64) -> str:
@@ -1143,6 +1192,123 @@ def text_url_hosts(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
         )
+    )
+
+
+# ---------------------------------------------------------------- sampling
+
+@_q(
+    "sample_deterministic",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST({h32_sql("CAST(doc_id AS VARCHAR) || ':s1'")} AS DOUBLE)
+          < 0.25 * 4294967296.0
+    """,
+)
+def sample_deterministic(spark, sf_dir):
+    """Hash-threshold sampling: the reproducible replacement for
+    df.sample — same row set on every run, engine, and partitioning
+    (salt-keyed, so independent samples coexist).  Pure column math,
+    zero shuffle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return SA.deterministic_sample(d, key_col="doc_id", rate=0.25, salt="s1")
+
+
+@_q(
+    "sample_stratified",
+    f"""
+    WITH c AS (SELECT lang AS stratum, count(*) AS n_docs
+               FROM documents GROUP BY lang),
+    m AS (SELECT min(n_docs) AS min_n FROM c),
+    r AS (
+      SELECT stratum, n_docs,
+             sqrt(CAST(min_n AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS rate
+      FROM c, m
+    )
+    SELECT r.stratum, CAST(r.n_docs AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN
+               CAST({h32_sql("CAST(d.doc_id AS VARCHAR) || ':mix1'")}
+                    AS DOUBLE) < r.rate * 4294967296.0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(max(r.rate), 6) AS rate
+    FROM documents d JOIN r ON d.lang = r.stratum
+    GROUP BY r.stratum, r.n_docs
+    """,
+)
+def sample_stratified(spark, sf_dir):
+    """Temperature-rebalanced (alpha=0.5) per-language sampling audit —
+    the CC-100/mC4 mixing shape: big strata downsampled by
+    sqrt(min_n/n), the smallest kept whole.  Rate table is one hash agg
+    + broadcast join; selection is deterministic hash-threshold."""
+    d = _t(spark, sf_dir, "documents")
+    return SA.stratified_sample_summary(
+        d, stratum_col="lang", key_col="doc_id", salt="mix1"
+    )
+
+
+_TOKCOUNT_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+
+@_q(
+    "text_token_quantiles",
+    f"""
+    WITH t AS (
+      SELECT lang, doc_id, CAST({_TOKCOUNT_SQL} AS BIGINT) AS v
+      FROM documents
+    ), r AS (
+      SELECT lang, v,
+             row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM t
+    )
+    SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(max(CASE WHEN rn = (n * 25 + 99) // 100 THEN v END)
+                AS BIGINT) AS p25,
+           CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END)
+                AS BIGINT) AS p50,
+           CAST(max(CASE WHEN rn = (n * 75 + 99) // 100 THEN v END)
+                AS BIGINT) AS p75,
+           CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN v END)
+                AS BIGINT) AS p90,
+           CAST(max(v) AS BIGINT) AS max_tokens
+    FROM r GROUP BY lang
+    """,
+)
+def text_token_quantiles(spark, sf_dir):
+    """EXACT per-language token-count quantiles (nearest-rank, integer
+    arithmetic only — no percentile_approx, whose sketch is
+    engine-specific): the length-distribution audit behind truncation /
+    packing decisions.  One window sort per stratum + one hash agg;
+    determinism-safe (integer window aggregates, doc_id tiebreak)."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "lang", "doc_id", T.token_count(F.col("text")).alias("v")
+    )
+    wo = Window.partitionBy("lang").orderBy("v", "doc_id")
+    w = Window.partitionBy("lang")
+    r = t.select(
+        "lang",
+        "v",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+
+    def pq(pct: int, name: str):
+        rank = F.expr(f"(n * {pct} + 99) div 100")
+        return F.max(
+            F.when(F.col("rn") == rank, F.col("v"))
+        ).alias(name)
+
+    return r.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        pq(25, "p25"),
+        pq(50, "p50"),
+        pq(75, "p75"),
+        pq(90, "p90"),
+        F.max("v").alias("max_tokens"),
     )
 
 
