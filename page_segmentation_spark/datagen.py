@@ -663,6 +663,111 @@ def build_xref_pdf(
     return bytes(out)
 
 
+# -- standard-security-handler encryption (RC4, /V 1-2, /R 2-3) ---------
+#
+# INDEPENDENT twin of pdf_parse.build_decryptor: the cipher, the key
+# derivation (Algorithm 2 of the public ISO 32000-1 spec), and the
+# object/stream walk are all written from scratch here, sharing no code
+# with the parser — so an encrypt->parse round trip cross-validates two
+# implementations of the published algorithms instead of exercising one
+# implementation's self-symmetry.
+
+#: 32-byte padding string from the spec (Table 3.19 / 7.6.3.3) — a fixed
+#: public constant, necessarily identical in any implementation.
+_ENC_PAD = bytes.fromhex(
+    "28bf4e5e4e758a4164004e56fffa01082e2e00b6d0683e802f0ca9fe6453697a"
+)
+
+
+def _enc_rc4(key: bytes, data: bytes) -> bytes:
+    """RC4, keystream-first formulation (distinct from the parser's
+    in-place XOR loop)."""
+    S = bytearray(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) % 256
+        S[i], S[j] = S[j], S[i]
+    ks = bytearray(len(data))
+    i = j = 0
+    for n in range(len(data)):
+        i = (i + 1) % 256
+        j = (j + S[i]) % 256
+        S[i], S[j] = S[j], S[i]
+        ks[n] = S[(S[i] + S[j]) % 256]
+    return bytes(a ^ b for a, b in zip(data, ks))
+
+
+def encrypt_pdf(
+    pdf: bytes,
+    v: int = 2,
+    r: int = 3,
+    nbits: int = 128,
+    owner_entry: bytes = bytes(range(0xA0, 0xC0)),
+    perms: int = -44,
+    file_id: bytes = bytes.fromhex("00112233445566778899aabbccddeeff"),
+    enc_onum: int = 90,
+) -> bytes:
+    """Encrypt every stream payload of a datagen-built PDF under the
+    standard security handler with an EMPTY user password (the
+    "owner-locked" crawl shape) and append the /Encrypt dict + trailer.
+
+    File key per Algorithm 2: md5(pad || /O || /P-le32 || /ID[0]), 50
+    extra md5 folds when r >= 3; per-object key per 7.6.2:
+    md5(file_key || objnum-le24 || gen-le16) truncated to
+    min(len+5, 16).  Streams are located by walking ``N G obj`` headers
+    and slicing each payload by its dict's direct ``/Length`` (always
+    direct in datagen builders); RC4 preserves length so declared
+    lengths and xref offsets stay valid."""
+    import hashlib
+    import re as _re
+
+    h = hashlib.md5()
+    h.update(_ENC_PAD)
+    h.update(owner_entry[:32])
+    h.update((perms & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(file_id)
+    key = h.digest()
+    n = nbits // 8 if r >= 3 else 5
+    n = max(5, min(n, 16))
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    file_key = key[:n]
+
+    out = bytearray(pdf)
+    headers = list(_re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", pdf))
+    for k, hm in enumerate(headers):
+        span_end = (
+            headers[k + 1].start() if k + 1 < len(headers) else len(pdf)
+        )
+        span = pdf[hm.end(): span_end]
+        ms = _re.search(rb"stream\r?\n", span)
+        if not ms:
+            continue
+        mlen = _re.search(rb"/Length\s+(\d+)\b", span[: ms.start()])
+        if not mlen:
+            continue
+        start = hm.end() + ms.end()
+        ln = int(mlen.group(1))
+        payload = pdf[start: start + ln]
+        onum, gen = int(hm.group(1)), int(hm.group(2))
+        ok = hashlib.md5(
+            file_key
+            + onum.to_bytes(3, "little")
+            + gen.to_bytes(2, "little")
+        ).digest()[: min(n + 5, 16)]
+        out[start: start + ln] = _enc_rc4(ok, payload)
+
+    tail = (
+        f"{enc_onum} 0 obj\n<< /Filter /Standard /V {v} /R {r} "
+        f"/O <{owner_entry.hex()}> /U <{owner_entry.hex()}> "
+        f"/P {perms} /Length {nbits} >>\nendobj\n"
+        f"trailer\n<< /Encrypt {enc_onum} 0 R "
+        f"/ID [<{file_id.hex()}> <{file_id.hex()}>] >>\n%%EOF\n"
+    ).encode("ascii")
+    return bytes(out) + tail
+
+
 def make_pdf_page(doc_id: int, seed: int = 42) -> Dict[str, object]:
     """Deterministic PDF page row (same input_hint shape as make_page):
     title (h1-sized), body paragraphs, and a URL-bearing footer line.
@@ -836,6 +941,49 @@ def make_media_payload(doc_id: int) -> bytes:
         w, h, ch, pixval,
         filter_type=(doc_id % 5) if ch == 1 else ((doc_id + 2) % 5),
     )
+
+
+def audio_params(doc_id: int) -> tuple:
+    """(sample_rate, channels, n_frames) closed form shared with the SQL
+    oracle (mm_audio_features)."""
+    rate = (8000, 16000, 44100, 22050)[doc_id % 4]
+    ch = 1 + doc_id % 2
+    n_frames = 400 + (doc_id % 7) * 37
+    return rate, ch, n_frames
+
+
+def audio_sample(doc_id: int, frame: int, c: int) -> int:
+    """Closed-form signed 16-bit PCM sample — pure integer arithmetic so
+    the SQL oracle reproduces it exactly."""
+    return (doc_id * 2654435761 + frame * 40503 + c * 9973) % 65536 - 32768
+
+
+def build_wav(doc_id: int) -> bytes:
+    """Deterministic RIFF/WAVE (PCM, 16-bit LE, interleaved) from the
+    closed-form sample function — with a leading non-audio ``cue ``
+    chunk before ``fmt `` so decoders must actually WALK chunks rather
+    than assume the canonical 44-byte layout."""
+    import numpy as np
+
+    rate, ch, n_frames = audio_params(doc_id)
+    idx = np.arange(n_frames * ch, dtype=np.int64)
+    frames, chans = idx // ch, idx % ch
+    vals = (
+        doc_id * 2654435761 + frames * 40503 + chans * 9973
+    ) % 65536 - 32768
+    data = vals.astype("<i2").tobytes()
+    cue = b"cue \x04\x00\x00\x00\x00\x00\x00\x00"
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")            # PCM
+        + ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * ch * 2).to_bytes(4, "little")  # byte rate
+        + (ch * 2).to_bytes(2, "little")         # block align
+        + (16).to_bytes(2, "little")             # bits/sample
+    )
+    body = cue + fmt + b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
 
 
 def mixed_pages_df(spark, n: int, seed: int = 42, partitions: int = 8,

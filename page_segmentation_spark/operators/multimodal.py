@@ -12,11 +12,17 @@ numpy-vectorized (stdlib + numpy only):
   * BMP — BITMAPINFOHEADER, uncompressed 24-bit BGR bottom-up with row
     padding, emitted top-down RGB so pixel addressing is uniform.
 
+The audio decode kernel is REAL too: RIFF/WAVE chunk walk, PCM 16-bit
+interleaved frames as a zero-copy numpy int16 view, vectorized
+duration/RMS/zero-crossing features (``decode_wav`` /
+``audio_features``).
+
 Scope (documented, honest): no interlaced (Adam7) PNG, no palette or
-sub-8-bit depths, no compressed BMP — unsupported payloads decode to
-NULL features, never a batch failure.  Audio/video decode remains out of
-scope in this container; their *plumbing* (frame sampling expansion,
-metadata columns) is JVM-side and real.
+sub-8-bit depths, no compressed BMP, no compressed/float WAV (PCM16
+only) — unsupported payloads decode to NULL features, never a batch
+failure.  Video decode remains out of scope in this container; its
+*plumbing* (frame sampling expansion, metadata columns) is JVM-side and
+real.
 """
 
 from __future__ import annotations
@@ -263,6 +269,114 @@ def extract_features(
             for j, name in enumerate(
                 ("width", "height", "channels", "px_mean", "fg_ratio")
             ):
+                res[name] = [f[j] if f is not None else None for f in feats]
+            yield res
+
+    return pruned.mapInPandas(kernel, schema=out_schema)
+
+
+def decode_wav(data: bytes) -> Tuple[int, int, "np.ndarray"]:
+    """Real stdlib RIFF/WAVE decode -> (sample_rate, channels, samples)
+    with samples an interleaved int16 numpy view (zero-copy where
+    alignment allows).  Chunk-walking (``fmt `` / ``data`` located by
+    iteration, unknown chunks skipped incl. their pad byte), PCM
+    (format 1) 16-bit only — the dominant uncompressed crawl shape;
+    anything else raises ValueError (callers map that to NULL features,
+    never a batch failure)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, n = 12, len(data)
+    rate = channels = bits = None
+    payload = None
+    while pos + 8 <= n:
+        cid = data[pos: pos + 4]
+        size = int.from_bytes(data[pos + 4: pos + 8], "little")
+        body = data[pos + 8: pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            if fmt_tag != 1:
+                raise ValueError("non-PCM WAV")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or channels is None or payload is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16 or channels < 1 or rate < 1:
+        raise ValueError("unsupported PCM layout")
+    usable = len(payload) - len(payload) % (2 * channels)
+    samples = np.frombuffer(payload[:usable], dtype="<i2")
+    return rate, channels, samples
+
+
+AUDIO_FEATURE_SCHEMA_SUFFIX = (
+    "sample_rate int, channels int, n_frames int, duration_s double, "
+    "rms double, zcr double"
+)
+
+
+def audio_features(
+    payload: Optional[bytes],
+) -> Optional[Tuple[int, int, int, float, float, float]]:
+    """Deterministic per-clip features from REAL decoded PCM:
+    (sample_rate, channels, n_frames, duration_s, rms, zcr).
+
+      * ``duration_s`` — n_frames / sample_rate, one IEEE division;
+      * ``rms``       — sqrt(sum(s^2) / n_samples): exact int64 sum of
+        squares, ONE double division, ONE sqrt — engine-reproducible;
+      * ``zcr``       — fraction of adjacent same-channel frame pairs
+        whose signs differ (negative vs non-negative), integer count
+        over integer denominator.
+    """
+    if not payload:
+        return None
+    try:
+        rate, ch, samples = decode_wav(bytes(payload))
+    except (ValueError, struct.error, IndexError):
+        return None
+    n_frames = len(samples) // ch
+    if n_frames == 0:
+        return None
+    s64 = samples.astype(np.int64)
+    ss = int((s64 * s64).sum())
+    neg = (samples < 0).reshape(n_frames, ch)
+    crossings = int((neg[1:] != neg[:-1]).sum(dtype=np.int64))
+    zcr = crossings / (ch * (n_frames - 1)) if n_frames > 1 else 0.0
+    return (
+        rate,
+        ch,
+        n_frames,
+        n_frames / rate,
+        float(np.sqrt(ss / (n_frames * ch))),
+        zcr,
+    )
+
+
+def extract_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_cols: tuple = ("url", "media_idx"),
+) -> DataFrame:
+    """mapInPandas audio feature extraction: the WAV twin of
+    extract_features, same NULL-on-undecodable contract."""
+    cols = list(id_cols) + [payload_col]
+    pruned = df.select(*cols)
+    out_schema = (
+        ", ".join(f"{c} string" if c == "url" else f"{c} int" for c in id_cols)
+        + ", " + AUDIO_FEATURE_SCHEMA_SUFFIX
+    )
+    names = ("sample_rate", "channels", "n_frames", "duration_s", "rms", "zcr")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                audio_features(bytes(p) if p is not None else None)
+                for p in pdf[payload_col]
+            ]
+            res = pdf[list(id_cols)].copy()
+            for j, name in enumerate(names):
                 res[name] = [f[j] if f is not None else None for f in feats]
             yield res
 

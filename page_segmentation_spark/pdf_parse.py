@@ -47,10 +47,15 @@ extraction itself never depends on the object map).  Content inside
 ``/Subtype /Form`` XObjects is walked INLINE at each ``/Name Do``
 invocation site (recursion bounded, cycles guarded), with the carried
 font state flowing in and out — the standard real-crawl shape where
-letterhead/body live in form XObjects.  Anything outside this scope
-(encrypted PDFs, CIDToGIDMap-only fonts without /ToUnicode) parses to
-whatever text ops are visible — never an error (malformed inputs must
-not fail a batch, same contract as parse_html).
+letterhead/body live in form XObjects.  ENCRYPTED files with the
+standard security handler in its RC4 forms (/V 1-2, /R 2-3) and an
+empty user password — the ubiquitous "owner-locked" crawl PDF — are
+decrypted per object (file key from /O,/P,/ID per the public ISO
+32000-1 algorithms; see the crypt section below).  Anything outside
+this scope (AES-encrypted or password-protected PDFs,
+CIDToGIDMap-only fonts without /ToUnicode) parses to whatever text ops
+are visible — never an error (malformed inputs must not fail a batch,
+same contract as parse_html).
 """
 
 from __future__ import annotations
@@ -110,6 +115,140 @@ _ESCAPES = {
     b")"[0]: b")",
     b"\\"[0]: b"\\",
 }
+
+
+# -- encryption: standard security handler, RC4 (V 1/2, R 2/3) ----------
+#
+# The common crawl shape is the "owner-locked" PDF: encrypted with an
+# EMPTY user password (opens for everyone; the password only gates
+# editing).  Algorithms 2 and 7.6.2 of the public PDF 1.7 spec (ISO
+# 32000-1): file key = md5(pad || /O || /P || /ID[0]) (R3: 50 md5
+# folds), per-object key = md5(file key || objnum_le3 || gen_le2).
+# RC4 is ~15 lines of stdlib; AES (/V 4+) and non-empty user passwords
+# stay out of scope (documented above) — such files degrade to the
+# whatever-is-visible contract like any other unreadable input.
+
+_CRYPT_PAD = bytes((
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
+    0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+    0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+))
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+0\s+R")
+_ID_FIRST_HEX_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>")
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (symmetric: encrypt == decrypt)."""
+    S = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % klen]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+class _Decryptor:
+    """Per-object RC4 decryption around a computed file key."""
+
+    __slots__ = ("key",)
+
+    def __init__(self, key: bytes) -> None:
+        self.key = key
+
+    def decrypt(self, onum: int, payload: bytes) -> bytes:
+        import hashlib
+
+        h = hashlib.md5(
+            self.key + onum.to_bytes(3, "little") + b"\x00\x00"
+        ).digest()
+        return _rc4(h[: min(len(self.key) + 5, 16)], payload)
+
+
+def _dict_string(body: bytes, name: bytes) -> Optional[bytes]:
+    """Value of a string entry (``/O (...)`` literal or ``/O <hex>``)."""
+    k = body.find(name)
+    if k < 0:
+        return None
+    i = k + len(name)
+    n = len(body)
+    while i < n and body[i] in b" \r\n\t":
+        i += 1
+    if i >= n:
+        return None
+    if body[i] == 0x28:  # (
+        raw, _end = _decode_literal(body, i)
+        return raw
+    if body[i] == 0x3C:  # <
+        j = body.find(b">", i)
+        if j < 0:
+            return None
+        try:
+            return bytes.fromhex(body[i + 1: j].decode("ascii"))
+        except ValueError:
+            return None
+    return None
+
+
+def _dict_int(body: bytes, name: bytes) -> Optional[int]:
+    m = re.search(re.escape(name) + rb"\s+(-?\d+)", body)
+    return int(m.group(1)) if m else None
+
+
+def build_decryptor(data: bytes) -> Optional[_Decryptor]:
+    """File decryptor from the trailer's /Encrypt dict, or None when the
+    file is unencrypted or uses an unsupported handler.  Uses its own
+    raw object scan: the spec forbids storing the encrypt dict inside an
+    object stream, and its own strings are never encrypted."""
+    enc_ref = None
+    for m in _ENCRYPT_REF_RE.finditer(data):
+        enc_ref = m  # last wins (incremental updates append trailers)
+    if enc_ref is None:
+        return None
+    onum = int(enc_ref.group(1))
+    body = None
+    for m in _OBJ_RE.finditer(data):
+        if int(m.group(1)) == onum:
+            body = m.group(2)
+    if body is None or b"/Standard" not in body:
+        return None
+    v = _dict_int(body, b"/V") or 0
+    r = _dict_int(body, b"/R") or 0
+    if v not in (1, 2) or r not in (2, 3):
+        return None  # AES / newer handlers: out of scope
+    o = _dict_string(body, b"/O")
+    p = _dict_int(body, b"/P")
+    if o is None or len(o) < 32 or p is None:
+        return None
+    nbits = _dict_int(body, b"/Length") or 40
+    m_id = _ID_FIRST_HEX_RE.search(data)
+    id0 = b""
+    if m_id:
+        try:
+            id0 = bytes.fromhex(m_id.group(1).decode("ascii"))
+        except ValueError:
+            id0 = b""
+    import hashlib
+
+    h = hashlib.md5()
+    h.update(_CRYPT_PAD)  # empty user password: the pad alone
+    h.update(o[:32])
+    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(id0)
+    key = h.digest()
+    n = nbits // 8 if r >= 3 else 5
+    n = max(5, min(n, 16))
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return _Decryptor(key[:n])
 
 
 def _decode_literal(data: bytes, i: int) -> Tuple[bytes, int]:
@@ -213,9 +352,14 @@ def _maybe_inflate(payload: bytes, dict_bytes: bytes) -> Optional[bytes]:
 
 
 def _object_stream_payload(
-    body: bytes, objects: Optional[Dict[int, bytes]] = None
+    body: bytes,
+    objects: Optional[Dict[int, bytes]] = None,
+    dec: Optional["_Decryptor"] = None,
+    onum: Optional[int] = None,
 ) -> Optional[bytes]:
-    """Decoded stream payload of one object body, or None."""
+    """Decoded stream payload of one object body, or None.  Decryption
+    (when the file carries a supported /Encrypt handler) happens between
+    slicing and inflation — RC4 wraps the compressed bytes."""
     m = _STREAM_RE.search(body)
     if not m:
         return None
@@ -223,19 +367,25 @@ def _object_stream_payload(
     payload = _slice_payload(body, m.end(), d, objects)
     if payload is None:
         return None
+    if dec is not None and onum is not None:
+        payload = dec.decrypt(onum, payload)
     return _maybe_inflate(payload, d)
 
 
-def _unpack_objstm(objs: Dict[int, bytes], overwrite: bool = False) -> None:
+def _unpack_objstm(
+    objs: Dict[int, bytes],
+    overwrite: bool = False,
+    dec: Optional["_Decryptor"] = None,
+) -> None:
     """Unpack ``/Type /ObjStm`` compressed object streams found in
     ``objs`` into individual entries (header of N (objnum, offset)
     integer pairs, then the serialized objects at /First + offset)."""
-    for body in list(objs.values()):
+    for src_onum, body in list(objs.items()):
         if b"/ObjStm" not in body:
             continue
         m_n = re.search(rb"/N\s+(\d+)", body)
         m_first = re.search(rb"/First\s+(\d+)", body)
-        payload = _object_stream_payload(body, objs)
+        payload = _object_stream_payload(body, objs, dec, src_onum)
         if not (m_n and m_first and payload):
             continue
         n, first = int(m_n.group(1)), int(m_first.group(1))
@@ -423,7 +573,9 @@ def _parse_xref_stream(data, off, offsets, in_stream) -> Optional[int]:
     return int(m_prev.group(1)) if m_prev else None
 
 
-def _xref_object_bodies(data: bytes) -> Dict[int, bytes]:
+def _xref_object_bodies(
+    data: bytes, dec: Optional["_Decryptor"] = None
+) -> Dict[int, bytes]:
     """Object bodies resolved through the xref: each type-1 entry's body
     spans from its ``N g obj`` header to the LAST ``endobj`` before the
     next known object offset — immune to payloads containing the byte
@@ -447,13 +599,15 @@ def _xref_object_bodies(data: bytes) -> Dict[int, bytes]:
             if end < 0:
                 continue
         objs[onum] = data[m_h.end(): end].strip(b"\r\n ")
-    _unpack_objstm(objs, overwrite=False)
+    _unpack_objstm(objs, overwrite=False, dec=dec)
     # type-2 entries the header walk may have missed resolve via the
     # generic unpack; nothing more to do — setdefault keeps xref wins
     return objs
 
 
-def parse_objects(data: bytes) -> Dict[int, bytes]:
+def parse_objects(
+    data: bytes, dec: Optional["_Decryptor"] = None
+) -> Dict[int, bytes]:
     """Object number -> body bytes: regex scan (``N 0 obj .. endobj``)
     OVERLAID by xref-resolved bodies (authoritative where present — a
     binary payload containing ``endobj`` corrupts only the regex scan),
@@ -461,9 +615,9 @@ def parse_objects(data: bytes) -> Dict[int, bytes]:
     objs: Dict[int, bytes] = {
         int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(data)
     }
-    _unpack_objstm(objs, overwrite=False)
+    _unpack_objstm(objs, overwrite=False, dec=dec)
     try:
-        xref_objs = _xref_object_bodies(data)
+        xref_objs = _xref_object_bodies(data, dec)
     except Exception:
         xref_objs = {}
     objs.update(xref_objs)
@@ -527,7 +681,9 @@ _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
 
 
 def font_cmaps(
-    data: bytes, objects: Dict[int, bytes]
+    data: bytes,
+    objects: Dict[int, bytes],
+    dec: Optional["_Decryptor"] = None,
 ) -> Dict[str, Dict[int, str]]:
     """Resource font name -> CID map, for fonts that declare /ToUnicode.
     Resources are scanned in the raw bytes AND in ObjStm-unpacked object
@@ -550,10 +706,11 @@ def font_cmaps(
         mtu = _TOUNICODE_RE.search(body)
         if not mtu:
             continue
-        tu_body = objects.get(int(mtu.group(1)))
+        tu_onum = int(mtu.group(1))
+        tu_body = objects.get(tu_onum)
         if tu_body is None:
             continue
-        payload = _object_stream_payload(tu_body, objects)
+        payload = _object_stream_payload(tu_body, objects, dec, tu_onum)
         if payload is None:
             continue
         cmap = parse_cmap(payload)
@@ -563,14 +720,24 @@ def font_cmaps(
 
 
 def content_streams(
-    data: bytes, objects: Optional[Dict[int, bytes]] = None
+    data: bytes,
+    objects: Optional[Dict[int, bytes]] = None,
+    dec: Optional["_Decryptor"] = None,
 ) -> List[bytes]:
     """All decoded content-stream payloads in byte order; FlateDecode
     streams are zlib-inflated, undecodable streams are skipped.  Streams
     that are machinery rather than page content (/ObjStm packing,
     /ToUnicode CMaps, xref streams) — or that render only when INVOKED
     (/Subtype /Form XObjects, expanded inline at their Do sites; /Image
-    XObjects, binary) — are excluded."""
+    XObjects, binary) — are excluded.  Encrypted files decrypt each
+    payload with the key of its OWNING object (the nearest preceding
+    ``N g obj`` header in the byte stream)."""
+    owner_offs: List[int] = []
+    owner_nums: List[int] = []
+    if dec is not None:
+        for hm in _OBJ_HEADER_RE.finditer(data):
+            owner_offs.append(hm.start())
+            owner_nums.append(int(hm.group(1)))
     out: List[bytes] = []
     for m in _STREAM_RE.finditer(data):
         d = _own_dict(m.group(1))
@@ -584,6 +751,13 @@ def content_streams(
         payload = _slice_payload(data, m.end(), d, objects)
         if payload is None:
             continue
+        if dec is not None:
+            # key on m.end(): the match's non-greedy << can open inside
+            # an EARLIER object (the _own_dict trap), but the owning
+            # header is always the last one before the stream keyword
+            k = bisect.bisect_right(owner_offs, m.end()) - 1
+            if k >= 0:
+                payload = dec.decrypt(owner_nums[k], payload)
         payload = _maybe_inflate(payload, d)
         if payload is None:
             continue
@@ -717,6 +891,7 @@ def _walk_stream(
     objects: Dict[int, bytes],
     depth: int = 0,
     active: frozenset = frozenset(),
+    dec: Optional["_Decryptor"] = None,
 ) -> FontState:
     """Walk one content stream in byte order: BT..ET segments become
     blocks; ``/Name Do`` sites expand /Form XObject streams INLINE
@@ -748,12 +923,12 @@ def _walk_stream(
             body = objects.get(onum)
             if body is None:
                 continue
-            payload = _object_stream_payload(body, objects)
+            payload = _object_stream_payload(body, objects, dec, onum)
             if payload is None:
                 continue
             state = _walk_stream(
                 payload, state, blocks, cmaps, forms, objects,
-                depth + 1, active | {onum},
+                depth + 1, active | {onum}, dec,
             )
     return _apply_tf(stream[pos:], state)
 
@@ -796,14 +971,15 @@ def parse_pdf(
         # the object map is only needed for CID fonts / ObjStm / indirect
         # /Length — all cheap regex passes; content scan never fails if
         # the map is incomplete
-        objects = parse_objects(data)
-        cmaps = font_cmaps(data, objects)
+        dec = build_decryptor(data)
+        objects = parse_objects(data, dec)
+        cmaps = font_cmaps(data, objects, dec)
         forms = xobject_forms(data, objects)
         blocks: List[tuple] = []
         state: FontState = ("", 0.0)
-        for stream in content_streams(data, objects):
+        for stream in content_streams(data, objects, dec):
             state = _walk_stream(
-                stream, state, blocks, cmaps, forms, objects
+                stream, state, blocks, cmaps, forms, objects, dec=dec
             )
         body = _body_size(blocks)
         for size, text in blocks:

@@ -1501,6 +1501,52 @@ def extract_pdf_flagship(spark, sf_dir):
 
 
 @_q(
+    "extract_pdf_encrypted",
+    f"""
+    SELECT 'https://testdata/doc/' || CAST(doc_id AS VARCHAR) || '.pdf'
+             AS url,
+           'Document ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+             || text || ' {_PAD_SQL} {_PAD_SQL}' || chr(10) || chr(10)
+             || reverse(text) || ' {_PAD_SQL} {_PAD_SQL}' AS extracted_text,
+           CAST(1 AS BIGINT) AS n_spans,
+           CAST(4 AS BIGINT) AS n_nodes
+    FROM documents
+    """,
+)
+def extract_pdf_encrypted(spark, sf_dir):
+    """The flagship pipeline over RC4-ENCRYPTED PDF byte streams (the
+    "owner-locked" crawl shape: standard security handler, /V 2 /R 3,
+    empty user password).  Fixture ciphertext comes from
+    ``datagen.encrypt_pdf`` — an implementation of the public ISO
+    32000-1 encryption algorithms written independently of
+    ``pdf_parse.build_decryptor`` — so a green row proves two separate
+    implementations of key derivation + RC4 agree, and the extracted
+    text still matches the PLAINTEXT closed-form oracle (identical to
+    extract_pdf_flagship's)."""
+    from page_segmentation_spark.packaging import ship_package
+    from page_segmentation_spark.plans.extract import extract
+
+    ship_package(spark)
+    pages = pdf_pages_from_documents(spark, sf_dir)
+
+    def encrypt_kernel(batches):
+        from page_segmentation_spark.datagen import encrypt_pdf
+
+        for b in batches:
+            b["html"] = b["html"].map(encrypt_pdf)
+            yield b
+
+    enc_pages = pages.mapInPandas(encrypt_kernel, schema=pages.schema)
+    out = extract(enc_pages)
+    return out.select(
+        "url",
+        "extracted_text",
+        F.size("spans").cast("long").alias("n_spans"),
+        "n_nodes",
+    )
+
+
+@_q(
     "extract_arch_wide",
     f"""
     SELECT 'https://testdata/doc/' || CAST(doc_id AS VARCHAR) AS url,
@@ -2017,4 +2063,79 @@ def mm_feature_extract(spark, sf_dir):
         "channels",
         "px_mean",
         "fg_ratio",
+    )
+
+
+@_q(
+    "mm_audio_features",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  WHEN 2 THEN 44100 ELSE 22050 END AS rate,
+             1 + CAST(doc_id % 2 AS INT) AS ch,
+             400 + CAST(doc_id % 7 AS INT) * 37 AS nf
+      FROM documents WHERE doc_id < 60
+    ), s AS (
+      SELECT doc_id, rate, ch, nf, fs.f AS f,
+             (doc_id * 2654435761 + fs.f * 40503 + cs.c * 9973) % 65536
+               - 32768 AS v,
+             CASE WHEN fs.f > 0 THEN
+               (doc_id * 2654435761 + (fs.f - 1) * 40503 + cs.c * 9973)
+                 % 65536 - 32768
+             END AS v_prev
+      FROM m,
+           unnest(generate_series(0, nf - 1)) AS fs(f),
+           unnest(generate_series(0, ch - 1)) AS cs(c)
+    )
+    SELECT doc_id,
+           CAST(max(rate) AS INT) AS sample_rate,
+           CAST(max(ch) AS INT) AS channels,
+           CAST(max(nf) AS INT) AS n_frames,
+           CAST(max(nf) AS DOUBLE) / max(rate) AS duration_s,
+           sqrt(CAST(sum(CAST(v AS BIGINT) * v) AS DOUBLE)
+                / (max(nf) * max(ch))) AS rms,
+           CAST(sum(CASE WHEN f > 0 AND ((v < 0) <> (v_prev < 0))
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / (max(ch) * (max(nf) - 1)) AS zcr
+    FROM s GROUP BY doc_id
+    """,
+)
+def mm_audio_features(spark, sf_dir):
+    """REAL audio decode under the driver gate: deterministic RIFF/WAVE
+    payloads (closed-form PCM16 sample function, datagen.build_wav —
+    chunk layout includes a leading non-audio chunk so the decoder must
+    walk chunks) are decoded by the stdlib kernel
+    (operators/multimodal.decode_wav) inside Arrow mapInPandas; the
+    oracle recomputes sample_rate/channels/n_frames/duration/RMS/
+    zero-crossing-rate from the sample closed form, so a wrong chunk
+    walk, byte order, or interleave order fails the hash.  All doubles
+    are exact-int sums with one division (+ one sqrt) on both sides."""
+    from page_segmentation_spark.datagen import build_wav
+    from page_segmentation_spark.operators import multimodal as MM
+    from page_segmentation_spark.packaging import ship_package
+
+    ship_package(spark)
+    ids = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select(
+        F.col("doc_id").cast("int").alias("media_idx")
+    )
+
+    def synth(batches):
+        # fixture synthesis (encode side); the operator under test is the
+        # decode kernel in extract_audio_features
+        for pdf in batches:
+            out = pdf[["media_idx"]].copy()
+            out["payload"] = [build_wav(int(i)) for i in pdf["media_idx"]]
+            yield out
+
+    media = ids.mapInPandas(synth, schema="media_idx int, payload binary")
+    feats = MM.extract_audio_features(media, id_cols=("media_idx",))
+    return feats.select(
+        F.col("media_idx").cast("long").alias("doc_id"),
+        "sample_rate",
+        "channels",
+        "n_frames",
+        "duration_s",
+        "rms",
+        "zcr",
     )

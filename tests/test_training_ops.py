@@ -408,6 +408,77 @@ def test_multimodal_feature_plumbing(spark):
     ) == exp
 
 
+def test_wav_decode_closed_form():
+    import math
+
+    from page_segmentation_spark.datagen import (
+        audio_params,
+        audio_sample,
+        build_wav,
+    )
+
+    for doc_id in range(8):  # covers all (rate, channels) combos
+        rate, ch, nf = audio_params(doc_id)
+        r2, c2, samples = MM.decode_wav(build_wav(doc_id))
+        assert (r2, c2, len(samples)) == (rate, ch, nf * ch)
+        assert [int(s) for s in samples[:6]] == [
+            audio_sample(doc_id, k // ch, k % ch) for k in range(6)
+        ]
+        feats = MM.audio_features(build_wav(doc_id))
+        ss = sum(
+            audio_sample(doc_id, f, c) ** 2
+            for f in range(nf) for c in range(ch)
+        )
+        cross = sum(
+            (audio_sample(doc_id, f, c) < 0)
+            != (audio_sample(doc_id, f - 1, c) < 0)
+            for f in range(1, nf) for c in range(ch)
+        )
+        assert feats == (
+            rate, ch, nf, nf / rate,
+            math.sqrt(ss / (nf * ch)), cross / (ch * (nf - 1)),
+        )
+
+
+def test_wav_rejects_garbage():
+    from page_segmentation_spark.datagen import build_wav
+
+    wav = build_wav(3)
+    assert MM.audio_features(None) is None
+    assert MM.audio_features(b"") is None
+    assert MM.audio_features(b"RIFFxxxxWAVE") is None  # no fmt/data
+    assert MM.audio_features(wav[:40]) is None  # truncated
+    # non-PCM format tag -> NULL, never an exception
+    bad = bytearray(wav)
+    fmt_at = wav.index(b"fmt ")
+    bad[fmt_at + 8] = 3  # IEEE-float format tag
+    assert MM.audio_features(bytes(bad)) is None
+
+
+def test_audio_feature_plumbing(spark):
+    from page_segmentation_spark.datagen import build_wav
+
+    rows = [
+        ("u1", 0, build_wav(0)),
+        ("u1", 1, None),
+        ("u2", 0, b"not audio"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, media_idx int, payload binary"
+    )
+    out = {(r["url"], r["media_idx"]): r
+           for r in MM.extract_audio_features(df).collect()}
+    assert len(out) == 3
+    exp = MM.audio_features(build_wav(0))
+    good = out[("u1", 0)]
+    assert (
+        good["sample_rate"], good["channels"], good["n_frames"],
+        good["duration_s"], good["rms"], good["zcr"],
+    ) == exp
+    assert out[("u1", 1)]["sample_rate"] is None
+    assert out[("u2", 0)]["rms"] is None
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([("u", 25)], "url string, n_frames int")
     idx = [r["frame_idx"] for r in
