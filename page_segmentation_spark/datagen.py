@@ -986,6 +986,42 @@ def build_wav(doc_id: int) -> bytes:
     return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
 
 
+def video_params(doc_id: int) -> tuple:
+    """(width, height, n_frames, usec_per_frame) closed form shared with
+    the SQL oracle (mm_video_meta)."""
+    w = 160 + (doc_id % 4) * 80
+    h = 120 + (doc_id % 3) * 60
+    n_frames = 24 + (doc_id % 10) * 12
+    usec = (33333, 41708, 16667, 20000)[doc_id % 4]
+    return w, h, n_frames, usec
+
+
+def build_avi(doc_id: int) -> bytes:
+    """Deterministic RIFF/AVI container: JUNK chunk first (decoders must
+    walk, not slice at fixed offsets), then ``LIST hdrl`` holding the
+    56-byte ``avih`` main header, then an empty ``LIST movi``.  No
+    encoded frames — container metadata is the decode surface here."""
+    w, h, n_frames, usec = video_params(doc_id)
+    avih = (
+        usec.to_bytes(4, "little")          # dwMicroSecPerFrame
+        + (0).to_bytes(4, "little") * 3     # maxbytes/padding/flags
+        + n_frames.to_bytes(4, "little")    # dwTotalFrames
+        + (0).to_bytes(4, "little") * 3     # initial/streams/bufsize
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4     # dwReserved
+    )
+    hdrl = b"hdrl" + b"avih" + len(avih).to_bytes(4, "little") + avih
+    junk = b"JUNK" + (4).to_bytes(4, "little") + b"\x00" * 4
+    movi = b"LIST" + (4).to_bytes(4, "little") + b"movi"
+    body = (
+        junk
+        + b"LIST" + len(hdrl).to_bytes(4, "little") + hdrl
+        + movi
+    )
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"AVI " + body
+
+
 def mixed_pages_df(spark, n: int, seed: int = 42, partitions: int = 8,
                    pdf_every: int = 4):
     """Mixed HTML + PDF corpus: every ``pdf_every``-th page is a PDF byte

@@ -383,6 +383,93 @@ def extract_audio_features(
     return pruned.mapInPandas(kernel, schema=out_schema)
 
 
+def parse_avi_meta(data: bytes) -> Tuple[int, int, int, int]:
+    """Real RIFF/AVI container metadata ->
+    (width, height, n_frames, usec_per_frame) from the ``avih`` main
+    header, located by walking top-level chunks and descending into
+    ``LIST`` chunks (the header lives in ``LIST hdrl``; a flat scan at a
+    fixed offset would be wrong for files with leading junk chunks).
+    Frame DECODE stays out of scope (codecs); the container walk is the
+    real thing, feeding frame_sample_plan with true frame counts."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+
+    def find_avih(buf: bytes, pos: int, end: int, depth: int = 0):
+        while pos + 8 <= end:
+            cid = buf[pos: pos + 4]
+            size = int.from_bytes(buf[pos + 4: pos + 8], "little")
+            if cid == b"avih" and size >= 40:
+                return buf[pos + 8: pos + 8 + size]
+            if cid == b"LIST" and depth < 4:
+                hit = find_avih(
+                    buf, pos + 12, min(pos + 8 + size, end), depth + 1
+                )
+                if hit is not None:
+                    return hit
+            pos += 8 + size + (size & 1)
+        return None
+
+    body = find_avih(data, 12, len(data))
+    if body is None:
+        raise ValueError("missing avih header")
+    usec = int.from_bytes(body[0:4], "little")
+    n_frames = int.from_bytes(body[16:20], "little")
+    width = int.from_bytes(body[32:36], "little")
+    height = int.from_bytes(body[36:40], "little")
+    if usec < 1 or width < 1 or height < 1:
+        raise ValueError("degenerate avih fields")
+    return width, height, n_frames, usec
+
+
+VIDEO_META_SCHEMA_SUFFIX = (
+    "width int, height int, n_frames int, fps double, duration_s double"
+)
+
+
+def video_meta(
+    payload: Optional[bytes],
+) -> Optional[Tuple[int, int, int, float, float]]:
+    """(width, height, n_frames, fps, duration_s) from the REAL
+    container header; fps = 1e6/usec and duration = n_frames*usec/1e6
+    are each ONE IEEE division over exact integers."""
+    if not payload:
+        return None
+    try:
+        w, h, nf, usec = parse_avi_meta(bytes(payload))
+    except (ValueError, struct.error, IndexError):
+        return None
+    return w, h, nf, 1000000 / usec, (nf * usec) / 1000000
+
+
+def extract_video_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_cols: tuple = ("url", "media_idx"),
+) -> DataFrame:
+    """mapInPandas container-metadata extraction: the AVI twin of
+    extract_features, same NULL-on-undecodable contract."""
+    cols = list(id_cols) + [payload_col]
+    pruned = df.select(*cols)
+    out_schema = (
+        ", ".join(f"{c} string" if c == "url" else f"{c} int" for c in id_cols)
+        + ", " + VIDEO_META_SCHEMA_SUFFIX
+    )
+    names = ("width", "height", "n_frames", "fps", "duration_s")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                video_meta(bytes(p) if p is not None else None)
+                for p in pdf[payload_col]
+            ]
+            res = pdf[list(id_cols)].copy()
+            for j, name in enumerate(names):
+                res[name] = [f[j] if f is not None else None for f in feats]
+            yield res
+
+    return pruned.mapInPandas(kernel, schema=out_schema)
+
+
 def frame_sample_plan(
     df: DataFrame, every_n: int = 10, n_frames_col: str = "n_frames"
 ) -> DataFrame:

@@ -2139,3 +2139,57 @@ def mm_audio_features(spark, sf_dir):
         "rms",
         "zcr",
     )
+
+
+@_q(
+    "mm_video_meta",
+    """
+    SELECT doc_id,
+           CAST(160 + CAST(doc_id % 4 AS INT) * 80 AS INT) AS width,
+           CAST(120 + CAST(doc_id % 3 AS INT) * 60 AS INT) AS height,
+           CAST(24 + CAST(doc_id % 10 AS INT) * 12 AS INT) AS n_frames,
+           CAST(1000000 AS DOUBLE)
+             / (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 33333
+                     WHEN 1 THEN 41708 WHEN 2 THEN 16667
+                     ELSE 20000 END) AS fps,
+           CAST((24 + CAST(doc_id % 10 AS INT) * 12)
+                * (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 33333
+                        WHEN 1 THEN 41708 WHEN 2 THEN 16667
+                        ELSE 20000 END) AS DOUBLE) / 1000000 AS duration_s
+    FROM documents WHERE doc_id < 60
+    """,
+)
+def mm_video_meta(spark, sf_dir):
+    """REAL video-container metadata under the driver gate:
+    deterministic RIFF/AVI payloads (datagen.build_avi — leading JUNK
+    chunk, avih inside LIST hdrl) are walked by the stdlib parser
+    (operators/multimodal.parse_avi_meta) inside Arrow mapInPandas; the
+    oracle recomputes width/height/n_frames/fps/duration from the
+    closed form, so a wrong chunk walk or field offset fails the hash.
+    Frame decode stays documented out of scope (codecs); this row pins
+    the container surface that frame_sample_plan consumes."""
+    from page_segmentation_spark.datagen import build_avi
+    from page_segmentation_spark.operators import multimodal as MM
+    from page_segmentation_spark.packaging import ship_package
+
+    ship_package(spark)
+    ids = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select(
+        F.col("doc_id").cast("int").alias("media_idx")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            out = pdf[["media_idx"]].copy()
+            out["payload"] = [build_avi(int(i)) for i in pdf["media_idx"]]
+            yield out
+
+    media = ids.mapInPandas(synth, schema="media_idx int, payload binary")
+    feats = MM.extract_video_meta(media, id_cols=("media_idx",))
+    return feats.select(
+        F.col("media_idx").cast("long").alias("doc_id"),
+        "width",
+        "height",
+        "n_frames",
+        "fps",
+        "duration_s",
+    )

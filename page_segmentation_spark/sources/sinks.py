@@ -81,6 +81,34 @@ def read_results(
     raise ValueError(f"format must be one of {FORMATS}, got {format!r}")
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str = "url",
+    n_buckets: int = 32,
+    sort_cols: tuple = (),
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Spark-native bucketed table write (``bucketBy`` + ``saveAsTable``)
+    — the co-location answer for url-keyed pipelines at 100 TB: two
+    tables bucketed identically on the join key sort-merge-join with
+    ZERO Exchange on either side (plan-audited in test_sinks), and a
+    groupBy on the bucket column aggregates shuffle-free.  Use it for
+    the hot repeated joins (results ⋈ node classes ⋈ annotations) where
+    re-shuffling 10^12 rows per query would dominate the plan.
+
+    Directory-``partitionBy`` (write_results) splits by VALUE for
+    pruning; ``bucketBy`` splits by HASH for join/agg co-location — the
+    two compose (Spark persists bucket spec in the catalog)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path is not None:  # external table at an explicit location
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table)
+
+
 def write_node_classes(nodes: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Color-mask analog: the per-node class table."""
     nodes.select("url", "node_idx", "tag", "pred", "is_fg").write.mode(

@@ -57,3 +57,39 @@ def test_debug_overlay(spark):
     assert 0 < len(rows) <= 8
     joined = "\n".join(r["overlay"] for r in rows)
     assert "█" in joined and "[p]" in joined
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Two tables bucketed identically on the join key must
+    sort-merge-join with ZERO Exchange (the 100-TB co-location story),
+    and a groupBy on the bucket column must aggregate shuffle-free."""
+    from page_segmentation_spark.sources.sinks import write_bucketed_table
+
+    pages = pages_df(spark, 12, partitions=2).cache()
+    res = extract(pages).select("url", "extracted_text")
+    meta = pages.select("url", "lang")
+    write_bucketed_table(
+        res, "t_bucket_res", bucket_col="url", n_buckets=4,
+        sort_cols=("url",), path=str(tmp_path / "res"),
+    )
+    write_bucketed_table(
+        meta, "t_bucket_meta", bucket_col="url", n_buckets=4,
+        sort_cols=("url",), path=str(tmp_path / "meta"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try:
+        a, b = spark.table("t_bucket_res"), spark.table("t_bucket_meta")
+        j = a.join(b, "url")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 12
+        g = a.groupBy("url").agg({"extracted_text": "count"})
+        gplan = g._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in gplan, gplan
+        assert g.count() == 12
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_res")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_meta")
+        pages.unpersist()

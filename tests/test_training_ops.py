@@ -479,6 +479,28 @@ def test_audio_feature_plumbing(spark):
     assert out[("u2", 0)]["rms"] is None
 
 
+def test_avi_meta_closed_form():
+    from page_segmentation_spark.datagen import build_avi, video_params
+
+    for doc_id in range(12):  # covers all (w, h, frames, usec) combos
+        w, h, nf, usec = video_params(doc_id)
+        assert MM.parse_avi_meta(build_avi(doc_id)) == (w, h, nf, usec)
+        assert MM.video_meta(build_avi(doc_id)) == (
+            w, h, nf, 1000000 / usec, (nf * usec) / 1000000
+        )
+
+
+def test_avi_rejects_garbage():
+    from page_segmentation_spark.datagen import build_avi, build_wav
+
+    assert MM.video_meta(None) is None
+    assert MM.video_meta(b"") is None
+    assert MM.video_meta(build_wav(1)) is None  # WAVE, not AVI
+    assert MM.video_meta(build_avi(1)[:20]) is None  # truncated
+    # an AVI with no avih header anywhere -> NULL, never an exception
+    assert MM.video_meta(b"RIFF\x10\x00\x00\x00AVI JUNK\x04\x00\x00\x00abcd") is None
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([("u", 25)], "url string, n_frames int")
     idx = [r["frame_idx"] for r in
