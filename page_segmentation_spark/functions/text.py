@@ -182,6 +182,60 @@ def repetition_signals(
     )
 
 
+def vocab_coverage(
+    df,
+    id_col: str,
+    text_col: str,
+    top_k: int = 500,
+    extra_cols: tuple[str, ...] = (),
+):
+    """Vocabulary-coverage quality signal (the CCNet/C4-style "is this
+    mostly real words" filter): fraction of a document's whitespace
+    tokens (lowercased) found in the corpus's top-``top_k`` vocabulary.
+    Exact integer counts, ONE division — engine-reproducible.
+
+    Scale shape: token explode is linear; the vocabulary reduces via a
+    map-side-combined hash agg then ``orderBy().limit(top_k)`` — Spark
+    plans that as TakeOrderedAndProject (per-partition top-k + merge),
+    never a global sort of the full distinct-token set; ties at the
+    boundary break deterministically on (count desc, token asc).  The
+    resulting top-k set broadcasts to the marking join (top_k rows —
+    always under any broadcast threshold), so the only real shuffles
+    are the two hash aggregations keyed by token and doc id."""
+    from pyspark.sql import functions as F
+
+    trimmed = F.trim(F.lower(F.col(text_col)))
+    toks = (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in extra_cols],
+            F.explode(F.split(trimmed, r"\s+")).alias("tok"),
+        )
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(top_k)
+        .select("tok", F.lit(1).alias("in_v"))
+    )
+    marked = toks.join(F.broadcast(vocab), "tok", "left")
+    agg = marked.groupBy(id_col, *extra_cols).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.coalesce(F.col("in_v"), F.lit(0)))
+        .cast("long")
+        .alias("in_vocab"),
+    )
+    return agg.select(
+        id_col,
+        *extra_cols,
+        "n_tokens",
+        "in_vocab",
+        (F.col("in_vocab") / F.col("n_tokens")).alias("coverage"),
+    )
+
+
 # ---- DuckDB-SQL twins (used by __spark_entry__.oracle_sql) -------------
 
 def marker_count_sql(col: str, word: str) -> str:

@@ -1312,6 +1312,40 @@ def text_token_quantiles(spark, sf_dir):
     )
 
 
+@_q(
+    "text_vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.tok AS tok
+      FROM documents,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(tok)
+      WHERE length(trim(text)) > 0
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+      ) ORDER BY cnt DESC, tok ASC LIMIT 500
+    ), marked AS (
+      SELECT toks.doc_id,
+             CASE WHEN v.tok IS NULL THEN 0 ELSE 1 END AS in_v
+      FROM toks LEFT JOIN vocab v ON toks.tok = v.tok
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(in_v) AS BIGINT) AS in_vocab,
+           CAST(sum(in_v) AS DOUBLE) / count(*) AS coverage
+    FROM marked GROUP BY doc_id
+    """,
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Vocabulary-coverage quality filter (CCNet/C4 staple): per-doc
+    fraction of whitespace tokens inside the corpus top-500 vocabulary.
+    The top-k vocabulary reduces via TakeOrderedAndProject and
+    broadcasts into the marking join — integer counts + one division,
+    so the oracle reproduces it bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    return T.vocab_coverage(d, "doc_id", "text", top_k=500)
+
+
 # ---------------------------------------------------------------- flagship
 
 # fixed filler sentence appended to both fixture paragraphs (see below)

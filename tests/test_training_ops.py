@@ -318,6 +318,30 @@ def test_fingerprint_normalization(spark):
     assert fps[0] == fps[1]
 
 
+def test_vocab_coverage_semantics_and_plan(spark):
+    from page_segmentation_spark.functions.text import vocab_coverage
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog xylophone qwerty"),
+        (3, "   "),  # blank: dropped like token_count's zero case
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in
+           vocab_coverage(df, "doc_id", "text", top_k=3).collect()}
+    # top-3 vocab by (count desc, token asc): the(3), cat(1), dog(1)
+    assert 3 not in out
+    assert (out[1]["n_tokens"], out[1]["in_vocab"]) == (6, 3)
+    assert out[1]["coverage"] == 3 / 6
+    assert (out[2]["n_tokens"], out[2]["in_vocab"]) == (4, 2)
+    # plan: per-partition top-k (TakeOrdered), broadcast mark join, no
+    # global sort of the vocabulary
+    plan = vocab_coverage(df, "doc_id", "text", top_k=3)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 # --------------------------------------------------------------- multimodal
 
 def _pixval(x, y, c):
