@@ -535,6 +535,119 @@ def build_cid_pdf(
     return bytes(out)
 
 
+#: glyph assignment used by build_ttf_pdf's embedded font: ASCII
+#: 0x20-0x7E at gids 1-95 (one format-4 delta segment), é/ü/em-dash at
+#: gids 96-98 (single-code segments) — same repertoire as CID_CMAP so
+#: fixtures are interchangeable across the two CID shapes.
+_TTF_EXTRA = {0xE9: 96, 0xFC: 97, 0x2014: 98}
+
+
+def _ttf_gid(ch: str) -> int:
+    o = ord(ch)
+    if 0x20 <= o <= 0x7E:
+        return o - 0x1F
+    return _TTF_EXTRA.get(o, 0)
+
+
+def build_ttf_cmap_font() -> bytes:
+    """Minimal TrueType font: table directory + a single ``cmap`` table
+    with one (3,1) format-4 subtable covering the fixture repertoire.
+    Only what pdf_parse.parse_ttf_cmap consumes — checksums are not
+    validated by any conforming cmap reader path we exercise."""
+    segs = [
+        (0x20, 0x7E, (1 - 0x20) & 0xFFFF, 0),
+        (0xE9, 0xE9, (96 - 0xE9) & 0xFFFF, 0),
+        (0xFC, 0xFC, (97 - 0xFC) & 0xFFFF, 0),
+        (0x2014, 0x2014, (98 - 0x2014) & 0xFFFF, 0),
+        (0xFFFF, 0xFFFF, 1, 0),  # mandatory terminator
+    ]
+    n = len(segs)
+    seg_x2 = 2 * n
+    sub_len = 14 + 4 * seg_x2 + 2
+    fmt4 = (
+        (4).to_bytes(2, "big") + sub_len.to_bytes(2, "big")
+        + (0).to_bytes(2, "big")                      # language
+        + seg_x2.to_bytes(2, "big")
+        + (2 * 4).to_bytes(2, "big")                  # searchRange (unused)
+        + (2).to_bytes(2, "big") + (0).to_bytes(2, "big")
+        + b"".join(e.to_bytes(2, "big") for _, e, _, _ in segs)
+        + (0).to_bytes(2, "big")                      # reservedPad
+        + b"".join(s.to_bytes(2, "big") for s, _, _, _ in segs)
+        + b"".join(d.to_bytes(2, "big") for _, _, d, _ in segs)
+        + b"".join(r.to_bytes(2, "big") for _, _, _, r in segs)
+    )
+    cmap = (
+        (0).to_bytes(2, "big") + (1).to_bytes(2, "big")   # version, 1 table
+        + (3).to_bytes(2, "big") + (1).to_bytes(2, "big") # (3,1) windows BMP
+        + (12).to_bytes(4, "big")                          # subtable offset
+        + fmt4
+    )
+    # sfnt header: version 1.0, numTables 1, then the directory record
+    header = (
+        b"\x00\x01\x00\x00" + (1).to_bytes(2, "big")
+        + (16).to_bytes(2, "big") + (0).to_bytes(2, "big")
+        + (0).to_bytes(2, "big")
+        + b"cmap" + (0).to_bytes(4, "big")
+        + (28).to_bytes(4, "big") + len(cmap).to_bytes(4, "big")
+    )
+    return header + cmap
+
+
+def build_ttf_pdf(
+    blocks: List[tuple], cid_to_gid_stream: bool = False
+) -> bytes:
+    """Single-page PDF with a Type0 CID font that has NO /ToUnicode —
+    the CIDToGIDMap-only real-crawl shape: /Identity-H encoding, CIDs in
+    show strings, text recoverable ONLY by reversing the embedded
+    FontFile2's cmap table.  ``cid_to_gid_stream`` adds a /CIDToGIDMap
+    stream (cid -> gid+0 identity laid out explicitly) instead of
+    /Identity, exercising the stream branch."""
+    import zlib
+
+    ops, y = [], 760
+    for size, text in blocks:
+        hexs = "".join("%04x" % _ttf_gid(ch) for ch in text if _ttf_gid(ch))
+        ops.append(f"BT /F1 {size:g} Tf 72 {y} Td <{hexs}> Tj ET")
+        y -= 20
+    content = "\n".join(ops).encode("ascii")
+    ttf = build_ttf_cmap_font()
+    ttf_z = zlib.compress(ttf, 6)
+    objs: Dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        4: f"<< /Length {len(content)} >>\nstream\n".encode("ascii")
+           + content + b"\nendstream",
+        5: b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-TTF "
+           b"/Encoding /Identity-H /DescendantFonts [7 0 R] >>",
+        8: b"<< /Type /FontDescriptor /FontName /Synth-TTF "
+           b"/FontFile2 9 0 R >>",
+        9: f"<< /Length {len(ttf_z)} /Filter /FlateDecode >>\nstream\n"
+           .encode("ascii") + ttf_z + b"\nendstream",
+    }
+    if cid_to_gid_stream:
+        cg = b"".join(g.to_bytes(2, "big") for g in range(99))
+        objs[7] = (
+            b"<< /Subtype /CIDFontType2 /BaseFont /Synth-TTF "
+            b"/FontDescriptor 8 0 R /CIDToGIDMap 10 0 R >>"
+        )
+        objs[10] = (
+            f"<< /Length {len(cg)} >>\nstream\n".encode("ascii")
+            + cg + b"\nendstream"
+        )
+    else:
+        objs[7] = (
+            b"<< /Subtype /CIDFontType2 /BaseFont /Synth-TTF "
+            b"/FontDescriptor 8 0 R /CIDToGIDMap /Identity >>"
+        )
+    out = bytearray(b"%PDF-1.5\n")
+    for num in sorted(objs):
+        out += f"{num} 0 obj\n".encode("ascii") + objs[num] + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
 def build_xref_pdf(
     blocks: List[tuple],
     xref_stream: bool = False,

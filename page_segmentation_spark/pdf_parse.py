@@ -51,11 +51,14 @@ letterhead/body live in form XObjects.  ENCRYPTED files with the
 standard security handler in its RC4 forms (/V 1-2, /R 2-3) and an
 empty user password — the ubiquitous "owner-locked" crawl PDF — are
 decrypted per object (file key from /O,/P,/ID per the public ISO
-32000-1 algorithms; see the crypt section below).  Anything outside
-this scope (AES-encrypted or password-protected PDFs,
-CIDToGIDMap-only fonts without /ToUnicode) parses to whatever text ops
-are visible — never an error (malformed inputs must not fail a batch,
-same contract as parse_html).
+32000-1 algorithms; see the crypt section below).  CID fonts WITHOUT
+/ToUnicode decode under /Identity-H by reversing the embedded
+FontFile2 TrueType ``cmap`` table (formats 4 and 12; /CIDToGIDMap as
+/Identity or a u16 stream) — see :func:`parse_ttf_cmap`.  Anything
+outside this scope (AES-encrypted or password-protected PDFs, CFF
+/FontFile3 outlines, non-Identity CID encodings) parses to whatever
+text ops are visible — never an error (malformed inputs must not fail
+a batch, same contract as parse_html).
 """
 
 from __future__ import annotations
@@ -678,6 +681,159 @@ def parse_cmap(payload: bytes) -> Dict[int, str]:
 _FONT_RES_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
 _FONT_REF_RE = re.compile(rb"/([A-Za-z0-9]+)\s+(\d+)\s+0\s+R")
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+_DESCENDANT_RE = re.compile(rb"/DescendantFonts\s*\[?\s*(\d+)\s+0\s+R")
+_DESCRIPTOR_RE = re.compile(rb"/FontDescriptor\s+(\d+)\s+0\s+R")
+_FONTFILE2_RE = re.compile(rb"/FontFile2\s+(\d+)\s+0\s+R")
+_CIDTOGID_RE = re.compile(rb"/CIDToGIDMap\s+(\d+)\s+0\s+R")
+
+
+def parse_ttf_cmap(ttf: bytes) -> Dict[int, int]:
+    """Glyph id -> unicode code point from an embedded TrueType font's
+    ``cmap`` table (public TrueType/OpenType spec): table directory walk
+    to ``cmap``, best unicode subtable (format 12 preferred over 4),
+    then the segment arrays inverted glyph-first (first unicode wins per
+    glyph; glyph 0 = .notdef is never mapped).  This is the key that
+    unlocks CID fonts WITHOUT /ToUnicode: under /Identity-H the CIDs in
+    show strings ARE glyph ids, so the reversed font cmap recovers text
+    the PDF itself never spells out."""
+    if len(ttf) < 12:
+        raise ValueError("truncated font")
+    num_tables = int.from_bytes(ttf[4:6], "big")
+    cmap_off = None
+    for i in range(num_tables):
+        rec = 12 + 16 * i
+        if ttf[rec: rec + 4] == b"cmap":
+            cmap_off = int.from_bytes(ttf[rec + 8: rec + 12], "big")
+            break
+    if cmap_off is None or cmap_off + 4 > len(ttf):
+        raise ValueError("no cmap table")
+    n_sub = int.from_bytes(ttf[cmap_off + 2: cmap_off + 4], "big")
+    best = None  # (rank, absolute offset)
+    for i in range(n_sub):
+        rec = cmap_off + 4 + 8 * i
+        pid = int.from_bytes(ttf[rec: rec + 2], "big")
+        eid = int.from_bytes(ttf[rec + 2: rec + 4], "big")
+        off = int.from_bytes(ttf[rec + 4: rec + 8], "big")
+        rank = {(3, 10): 3, (3, 1): 2, (0, 3): 2, (0, 4): 3}.get(
+            (pid, eid), 1 if pid == 0 else 0
+        )
+        if rank and (best is None or rank > best[0]):
+            best = (rank, cmap_off + off)
+    if best is None:
+        raise ValueError("no unicode cmap subtable")
+    sub = best[1]
+    fmt = int.from_bytes(ttf[sub: sub + 2], "big")
+    uni2gid: Dict[int, int] = {}
+    if fmt == 4:
+        seg_x2 = int.from_bytes(ttf[sub + 6: sub + 8], "big")
+        n_seg = seg_x2 // 2
+        ends = sub + 14
+        starts = ends + seg_x2 + 2  # +2: reservedPad
+        deltas = starts + seg_x2
+        range_offs = deltas + seg_x2
+        for s in range(n_seg):
+            end = int.from_bytes(ttf[ends + 2 * s: ends + 2 * s + 2], "big")
+            start = int.from_bytes(
+                ttf[starts + 2 * s: starts + 2 * s + 2], "big"
+            )
+            delta = int.from_bytes(
+                ttf[deltas + 2 * s: deltas + 2 * s + 2], "big"
+            )
+            roff = int.from_bytes(
+                ttf[range_offs + 2 * s: range_offs + 2 * s + 2], "big"
+            )
+            if start == 0xFFFF:
+                continue  # the mandatory terminator segment
+            for code in range(start, min(end, 0xFFFE) + 1):
+                if roff == 0:
+                    gid = (code + delta) & 0xFFFF
+                else:
+                    # spec pointer arithmetic: offset is relative to the
+                    # idRangeOffset slot itself
+                    addr = range_offs + 2 * s + roff + 2 * (code - start)
+                    if addr + 2 > len(ttf):
+                        continue
+                    gid = int.from_bytes(ttf[addr: addr + 2], "big")
+                    if gid:
+                        gid = (gid + delta) & 0xFFFF
+                if gid:
+                    uni2gid.setdefault(code, gid)
+    elif fmt == 12:
+        n_groups = int.from_bytes(ttf[sub + 12: sub + 16], "big")
+        for g in range(n_groups):
+            rec = sub + 16 + 12 * g
+            start = int.from_bytes(ttf[rec: rec + 4], "big")
+            end = int.from_bytes(ttf[rec + 4: rec + 8], "big")
+            gid0 = int.from_bytes(ttf[rec + 8: rec + 12], "big")
+            for code in range(start, min(end, start + 0x10FFFF) + 1):
+                gid = gid0 + (code - start)
+                if gid:
+                    uni2gid.setdefault(code, gid)
+    else:
+        raise ValueError(f"unsupported cmap format {fmt}")
+    gid2uni: Dict[int, int] = {}
+    for code in sorted(uni2gid):  # deterministic first-wins inversion
+        gid2uni.setdefault(uni2gid[code], code)
+    return gid2uni
+
+
+def _identity_cid_cmap(
+    body: bytes,
+    objects: Dict[int, bytes],
+    dec: Optional["_Decryptor"] = None,
+) -> Optional[Dict[int, str]]:
+    """CID map for a Type0 font WITHOUT /ToUnicode: requires
+    /Identity-H encoding, then CID -> GID (identity, or a /CIDToGIDMap
+    stream of big-endian u16s) -> unicode via the embedded FontFile2's
+    reversed cmap.  Returns None when any link is outside scope (the
+    caller degrades to whatever is visible, never errors)."""
+    if b"/Identity-H" not in body:
+        return None
+    md = _DESCENDANT_RE.search(body)
+    if not md:
+        return None
+    desc = objects.get(int(md.group(1)))
+    if desc is None:
+        # the array may be an indirect object holding the ref
+        return None
+    mfd = _DESCRIPTOR_RE.search(desc)
+    fd = objects.get(int(mfd.group(1))) if mfd else None
+    if fd is None:
+        return None
+    mff = _FONTFILE2_RE.search(fd)
+    if not mff:
+        return None
+    ff_onum = int(mff.group(1))
+    ff_body = objects.get(ff_onum)
+    if ff_body is None:
+        return None
+    ttf = _object_stream_payload(ff_body, objects, dec, ff_onum)
+    if ttf is None:
+        return None
+    try:
+        gid2uni = parse_ttf_cmap(ttf)
+    except (ValueError, IndexError):
+        return None
+    cid2gid = None  # None = identity
+    mc = _CIDTOGID_RE.search(desc)
+    if mc:
+        cg_onum = int(mc.group(1))
+        cg_body = objects.get(cg_onum)
+        if cg_body is not None:
+            payload = _object_stream_payload(cg_body, objects, dec, cg_onum)
+            if payload is not None:
+                cid2gid = payload
+    out: Dict[int, str] = {}
+    if cid2gid is None:
+        for gid, uni in gid2uni.items():
+            out[gid] = chr(uni)
+    else:
+        for cid in range(len(cid2gid) // 2):
+            gid = int.from_bytes(cid2gid[2 * cid: 2 * cid + 2], "big")
+            uni = gid2uni.get(gid)
+            if uni is not None:
+                out[cid] = chr(uni)
+    return out or None
 
 
 def font_cmaps(
@@ -705,6 +861,12 @@ def font_cmaps(
             continue
         mtu = _TOUNICODE_RE.search(body)
         if not mtu:
+            # CID font without /ToUnicode: reverse the embedded
+            # TrueType cmap under /Identity-H (the CIDToGIDMap-only
+            # real-crawl shape)
+            cmap = _identity_cid_cmap(body, objects, dec)
+            if cmap:
+                out[name] = cmap
             continue
         tu_onum = int(mtu.group(1))
         tu_body = objects.get(tu_onum)

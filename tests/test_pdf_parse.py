@@ -357,3 +357,56 @@ def test_malformed_xref_falls_back_to_regex_scan():
     data = _re.sub(rb"startxref\s+\d+", b"startxref\n999999999", data)
     texts = [n["text"] for n in parse_pdf(data)]
     assert "The Actual Title" in texts
+
+
+def test_identity_h_ttf_cmap_reversal():
+    """CID font with NO /ToUnicode: text is recoverable only by
+    reversing the embedded FontFile2's TrueType cmap (format 4) under
+    /Identity-H — both the /Identity and stream CIDToGIDMap shapes."""
+    from page_segmentation_spark.datagen import build_ttf_pdf
+
+    blocks = [(24, "Café titre — grand"), (11, "corps ascii (parens ok)")]
+    for stream_map in (False, True):
+        nodes = parse_pdf(build_ttf_pdf(blocks, cid_to_gid_stream=stream_map))
+        assert [n["text"] for n in nodes] == [b[1] for b in blocks]
+        assert nodes[0]["tag"] == "h1"
+
+
+def test_identity_h_ttf_encrypted():
+    # FontFile2 and CIDToGIDMap streams decrypt with their own keys
+    from page_segmentation_spark.datagen import build_ttf_pdf, encrypt_pdf
+
+    blocks = [(24, "Title"), (11, "Body text with ü and é")]
+    plain = build_ttf_pdf(blocks, cid_to_gid_stream=True)
+    assert parse_pdf(encrypt_pdf(plain)) == parse_pdf(plain)
+    assert [n["text"] for n in parse_pdf(plain)] == [b[1] for b in blocks]
+
+
+def test_ttf_cmap_parser_degrades():
+    """Broken/missing font structures must degrade to visible text ops
+    (here: none decodable), never raise."""
+    from page_segmentation_spark.datagen import build_ttf_pdf
+    from page_segmentation_spark.pdf_parse import parse_ttf_cmap
+
+    import pytest as _pytest
+
+    for bad in (b"", b"\x00\x01\x00\x00", b"\x00\x01\x00\x00" + b"\x00" * 40):
+        with _pytest.raises(ValueError):
+            parse_ttf_cmap(bad)
+    # break the FontFile2 link (dangling object ref): the show string
+    # degrades to raw visible bytes (whatever-is-visible contract) with
+    # no exception — and no longer spells the true text
+    data = build_ttf_pdf([(24, "Title")])
+    dangling = data.replace(b"/FontFile2 9 0 R", b"/FontFile2 99 0 R")
+    texts = [n["text"] for n in parse_pdf(dangling)]
+    assert "Title" not in texts
+    # corrupt the compressed font bytes: inflate fails -> same degrade
+    import zlib as _zlib
+
+    from page_segmentation_spark.datagen import build_ttf_cmap_font
+
+    good_z = _zlib.compress(build_ttf_cmap_font(), 6)
+    bad_z = good_z[:10] + bytes([good_z[10] ^ 0xFF]) + good_z[11:]
+    assert "Title" not in [
+        n["text"] for n in parse_pdf(data.replace(good_z, bad_z))
+    ]
