@@ -73,6 +73,9 @@ from page_segmentation_spark.html_parse import text_stats
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.S)
 
 
+_DICT_TOK_RE = re.compile(rb"<<|>>")
+
+
 def _own_dict(d: bytes) -> bytes:
     """The stream's OWN dictionary content from a _STREAM_RE capture.
 
@@ -85,19 +88,13 @@ def _own_dict(d: bytes) -> bytes:
     stream's own dict (the whole capture when it is already clean)."""
     depth = 0
     start = -1
-    i, n = 0, len(d)
-    while i < n - 1:
-        pair = d[i: i + 2]
-        if pair == b"<<":
+    for m in _DICT_TOK_RE.finditer(d):
+        if m.group() == b"<<":
             if depth == 0:
-                start = i
+                start = m.start()
             depth += 1
-            i += 2
-        elif pair == b">>":
-            depth = max(0, depth - 1)
-            i += 2
         else:
-            i += 1
+            depth = max(0, depth - 1)
     if depth == 0 or start < 0:
         return d
     return d[start + 2:]
@@ -254,15 +251,36 @@ def build_decryptor(data: bytes) -> Optional[_Decryptor]:
     return _Decryptor(key[:n])
 
 
+_LITERAL_SPECIAL_RE = re.compile(rb"[\\()]")
+
+
 def _decode_literal(data: bytes, i: int) -> Tuple[bytes, int]:
     """Decode a PDF literal string starting at data[i] == '('; returns
     (raw bytes, index just past the closing paren).  Handles escapes,
-    octal codes, and balanced nested parens."""
+    octal codes, and balanced nested parens.
+
+    Fast path: a string with no backslash and no nested paren before its
+    closing paren IS its byte slice (the overwhelmingly common show-op
+    shape) — one find + one slice instead of a per-byte loop.  The slow
+    path copies plain runs between special bytes in slices, so cost
+    scales with the number of escapes, not string length."""
+    n = len(data)
+    j = data.find(b")", i + 1)
+    seg = data[i + 1: j] if j >= 0 else data[i + 1:]
+    if b"\\" not in seg and b"(" not in seg:
+        return seg, (j + 1) if j >= 0 else n
     out: List[bytes] = []
     depth = 1
     i += 1
-    n = len(data)
     while i < n and depth > 0:
+        m = _LITERAL_SPECIAL_RE.search(data, i)
+        if m is None:
+            out.append(data[i:])
+            i = n
+            break
+        if m.start() > i:
+            out.append(data[i: m.start()])
+            i = m.start()
         c = data[i]
         if c == 0x5C:  # backslash
             i += 1
@@ -989,10 +1007,18 @@ def _segment_text(
     parts: List[str] = []
     size_at_show: Optional[float] = None
     tf_matches = list(_TF_RE.finditer(seg))
+    n_tf = len(tf_matches)
     ti = 0
     i, n = 0, len(seg)
+    # jump between show-op openers instead of walking every byte: Tf
+    # state only needs catching up AT a show op (and after the loop),
+    # so skipping the bytes in between is behavior-identical
     while i < n:
-        while ti < len(tf_matches) and tf_matches[ti].end() <= i:
+        mo = _SHOW_OPEN_RE.search(seg, i)
+        if mo is None:
+            break
+        i = mo.start()
+        while ti < n_tf and tf_matches[ti].end() <= i:
             m = tf_matches[ti]
             state = (m.group(1).decode("latin-1"), float(m.group(2)))
             ti += 1
@@ -1002,7 +1028,7 @@ def _segment_text(
                 size_at_show = state[1]
             raw, i = _decode_literal(seg, i)
             parts.append(_bytes_to_text(raw, state[0], cmaps))
-        elif c == 0x3C and not (i + 1 < n and seg[i + 1] == 0x3C):  # < not <<
+        elif not (i + 1 < n and seg[i + 1] == 0x3C):  # < not <<
             if size_at_show is None:
                 size_at_show = state[1]
             raw, i = _decode_hex(seg, i)
@@ -1018,6 +1044,9 @@ def _segment_text(
         state[1] if size_at_show is None else size_at_show,
         state,
     )
+
+
+_SHOW_OPEN_RE = re.compile(rb"[(<]")
 
 
 def _tag_for_size(size: float) -> str:

@@ -1346,6 +1346,21 @@ def text_vocab_coverage(spark, sf_dir):
     return T.vocab_coverage(d, "doc_id", "text", top_k=500)
 
 
+@_q("text_bpe_tokens")
+def text_bpe_tokens(spark, sf_dir):
+    """REAL subword tokenization: Sennrich-style BPE with a frozen
+    corpus-trained merge table (functions/bpe.py), Arrow-batched with a
+    per-word memo cache.  Rows-only driver check — the iterative greedy
+    merge loop has no single-query SQL form; token semantics are pinned
+    by tests/test_bpe.py (merge order, determinism, round-trip)."""
+    from page_segmentation_spark.functions.bpe import with_bpe_tokens
+    from page_segmentation_spark.packaging import ship_package
+
+    ship_package(spark)
+    d = _t(spark, sf_dir, "documents")
+    return with_bpe_tokens(d, "text", id_cols=("doc_id",))
+
+
 # ---------------------------------------------------------------- flagship
 
 # fixed filler sentence appended to both fixture paragraphs (see below)
