@@ -126,6 +126,26 @@ def main() -> None:
     extras["docs_per_sec"] = round(n_pages / timings["extract_synthetic"], 1)
     extras["n_pages"] = n_pages
 
+    # q1b: the ZERO-SHUFFLE fused plan over the SAME corpus (alternate
+    # scale path, plans/extract_fused.py — one mapInArrow stage, no
+    # Exchange; byte-identical output, pinned by test_extract_fused and
+    # the extract_fused_flagship driver row).  Same warm-up+median
+    # protocol as the declarative flagship.
+    from page_segmentation_spark.plans.extract_fused import extract_fused
+
+    for _ in range(2):
+        materialize(extract_fused(pages))
+    fused_runs = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        materialize(extract_fused(pages))
+        fused_runs.append(time.perf_counter() - t0)
+    timings["extract_fused"] = round(sorted(fused_runs)[2], 3)
+    extras["extract_fused_runs"] = [round(m, 3) for m in fused_runs]
+    extras["fused_docs_per_sec"] = round(
+        n_pages / timings["extract_fused"], 1
+    )
+
     # q2-q6: the non-flagship queries get the same treatment at smaller
     # scale — 1 warm-up run excluded, median of 3 measured (they run in
     # ~1-3s each on a box with ±40% spikes; single-shot numbers were not

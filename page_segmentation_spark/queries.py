@@ -1448,6 +1448,39 @@ def extract_flagship(spark, sf_dir):
     )
 
 
+@_q(
+    "extract_fused_flagship",
+    f"""
+    SELECT 'https://testdata/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           'Document ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+             || text || ' {_PAD_SQL}' || chr(10) || chr(10)
+             || reverse(text) || ' {_PAD_SQL}' AS extracted_text,
+           CAST(1 AS BIGINT) AS n_spans,
+           CAST(10 AS BIGINT) AS n_nodes
+    FROM documents
+    """,
+)
+def extract_fused_flagship(spark, sf_dir):
+    """The ZERO-SHUFFLE fused extraction plan (plans/extract_fused.py:
+    parse + score + vote + span-cut in ONE mapInArrow stage, no
+    Exchange) over the same pages as extract_flagship, against the same
+    closed-form oracle — a green row proves the alternate scale-path
+    plan is value-identical to the declarative one under the driver
+    gate, not just in pytest."""
+    from page_segmentation_spark.packaging import ship_package
+    from page_segmentation_spark.plans.extract_fused import extract_fused
+
+    ship_package(spark)
+    pages = pages_from_documents(spark, sf_dir)
+    out = extract_fused(pages)
+    return out.select(
+        "url",
+        "extracted_text",
+        F.size("spans").cast("long").alias("n_spans"),
+        "n_nodes",
+    )
+
+
 def _pdf_escape_col(c):
     """PDF literal-string escaping of a string column — the JVM twin of
     datagen._pdf_escape: backslash first, then the parens.  Replacement

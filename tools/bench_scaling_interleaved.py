@@ -16,7 +16,8 @@ Reported: per-level medians plus the per-adjacent-pair efficiency
 samples and their median.
 
 Usage: python tools/bench_scaling_interleaved.py [sf_dir] [N] [4N] [pages] [job] [rounds]
-``job``: "extract" (default, full pipeline) or "parse" (the Python
+``job``: "extract" (default, full pipeline), "fused" (the
+zero-shuffle single-stage plan), or "parse" (the Python
 mapInArrow stage alone) — comparing the two attributes multi-core
 contention between the CPython parse kernel and the JVM agg stages.
 """
@@ -36,6 +37,7 @@ sys.path.insert(0, {repo!r})
 os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
 from page_segmentation_spark.session import get_spark
 from page_segmentation_spark.plans.extract import extract
+from page_segmentation_spark.plans.extract_fused import extract_fused
 from page_segmentation_spark.sources.parse import parse_pages
 
 cpus = int(sys.argv[1]); corpus = sys.argv[2]
@@ -50,6 +52,7 @@ n = pages.count()
 # kernel and the JVM window/agg stages
 JOBS = {{
     "extract": lambda: extract(pages),
+    "fused": lambda: extract_fused(pages),
     "parse": lambda: parse_pages(pages),
 }}
 build = JOBS[job]
