@@ -130,6 +130,53 @@ def url_host_sql(expr: str) -> str:
     return f"regexp_extract({expr}, '{URL_HOST_RE}', 1)"
 
 
+#: scheme://host[:port] prefix — three capture groups (scheme, authority,
+#: rest).  Classes + bounded alternation only: Java regex and RE2 agree.
+_URL_PARTS_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$"
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL for dedup/host accounting (the C4/Common-Crawl
+    pre-dedup normalization): strip the ``#fragment``, lowercase scheme
+    and authority (path/query case is significant and kept), drop the
+    default port (``:80`` for http, ``:443`` for https), and drop a
+    single trailing slash on a non-root path.  Scheme-less inputs get
+    only the fragment strip (nothing else is safely inferable).  Pure
+    regexp chain — no UDF, identical in the DuckDB twin."""
+    defrag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(defrag, _URL_PARTS_RE, 1))
+    auth = F.lower(F.regexp_extract(defrag, _URL_PARTS_RE, 2))
+    rest = F.regexp_extract(defrag, _URL_PARTS_RE, 3)
+    auth = F.when(
+        (scheme == "http"), F.regexp_replace(auth, r":80$", "")
+    ).when(
+        (scheme == "https"), F.regexp_replace(auth, r":443$", "")
+    ).otherwise(auth)
+    rest = F.regexp_replace(rest, r"^(/.+?)/$", r"$1")
+    return F.when(
+        scheme == "", defrag
+    ).otherwise(F.concat(scheme, F.lit("://"), auth, rest))
+
+
+def url_normalize_sql(expr: str) -> str:
+    """DuckDB twin of :func:`url_normalize` as a SQL fragment."""
+    p = _URL_PARTS_RE
+    d = f"regexp_replace({expr}, '#.*$', '')"
+    scheme = f"lower(regexp_extract({d}, '{p}', 1))"
+    auth = f"lower(regexp_extract({d}, '{p}', 2))"
+    rest = f"regexp_extract({d}, '{p}', 3)"
+    auth_n = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({auth}, ':80$', '')"
+        f" WHEN {scheme} = 'https' THEN regexp_replace({auth}, ':443$', '')"
+        f" ELSE {auth} END"
+    )
+    rest_n = f"regexp_replace({rest}, '^(/.+?)/$', '\\1')"
+    return (
+        f"CASE WHEN {scheme} = '' THEN {d} "
+        f"ELSE {scheme} || '://' || {auth_n} || {rest_n} END"
+    )
+
+
 def repetition_signals(
     df, id_col: str, text_col: str, extra_cols: tuple[str, ...] = ()
 ):

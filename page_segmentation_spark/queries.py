@@ -1195,6 +1195,65 @@ def text_url_hosts(spark, sf_dir):
     )
 
 
+#: messy-URL fixture: one case per normalization branch (upper scheme /
+#: host, default ports, fragments, trailing slash, scheme-less, non-http
+#: port kept).  The CASE is mirrored verbatim in the oracle SQL.
+_MESSY_URL_CASES = [
+    "'HTTPS://WWW.Example.TEST:443/Doc/' || {id} || '/'",
+    "'http://site.test:80/doc/' || {id} || '#frag'",
+    "'https://other.test/doc/' || {id}",
+    "'HTTP://Mixed.Case.test/Path/' || {id} || '/#x'",
+    "'www.nochain.test/doc/' || {id} || '#f'",
+    "'ftp://files.test:80/doc/' || {id} || '/'",
+]
+
+
+@_q(
+    "text_url_normalize",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 6 AS INT)
+               {' '.join(
+                   f"WHEN {k} THEN " + c.format(id="CAST(doc_id AS VARCHAR)")
+                   for k, c in enumerate(_MESSY_URL_CASES[:-1])
+               )}
+               ELSE {_MESSY_URL_CASES[-1].format(id="CAST(doc_id AS VARCHAR)")}
+             END AS url_raw
+      FROM documents
+    )
+    SELECT doc_id, url_raw,
+           {T.url_normalize_sql("url_raw")} AS url_norm
+    FROM u
+    """,
+)
+def text_url_normalize(spark, sf_dir):
+    """Canonical-URL normalization (the C4/Common-Crawl pre-dedup step:
+    fragment strip, scheme/authority lowering, default-port drop,
+    trailing-slash trim) over a messy-URL fixture exercising every
+    branch — pure portable regexp chain, bit-exact against the SQL
+    twin."""
+    d = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    branches = [
+        F.concat(F.lit("HTTPS://WWW.Example.TEST:443/Doc/"), sid, F.lit("/")),
+        F.concat(F.lit("http://site.test:80/doc/"), sid, F.lit("#frag")),
+        F.concat(F.lit("https://other.test/doc/"), sid),
+        F.concat(F.lit("HTTP://Mixed.Case.test/Path/"), sid, F.lit("/#x")),
+        F.concat(F.lit("www.nochain.test/doc/"), sid, F.lit("#f")),
+        F.concat(F.lit("ftp://files.test:80/doc/"), sid, F.lit("/")),
+    ]
+    sel = F.col("doc_id") % 6
+    url_raw = branches[-1]
+    for k in range(len(branches) - 2, -1, -1):
+        url_raw = F.when(sel == k, branches[k]).otherwise(url_raw)
+    return d.select(
+        "doc_id",
+        url_raw.alias("url_raw"),
+        T.url_normalize(url_raw).alias("url_norm"),
+    )
+
+
 # ---------------------------------------------------------------- sampling
 
 @_q(

@@ -318,6 +318,24 @@ def test_fingerprint_normalization(spark):
     assert fps[0] == fps[1]
 
 
+def test_url_normalize_branches(spark):
+    from page_segmentation_spark.functions.text import url_normalize
+
+    cases = [
+        ("HTTPS://WWW.Example.TEST:443/Doc/5/", "https://www.example.test/Doc/5"),
+        ("http://site.test:80/doc/1#frag", "http://site.test/doc/1"),
+        ("https://other.test/doc/2", "https://other.test/doc/2"),
+        ("HTTP://Mixed.Case.test/Path/3/#x", "http://mixed.case.test/Path/3"),
+        ("www.nochain.test/doc/4#f", "www.nochain.test/doc/4"),
+        ("ftp://files.test:80/doc/6/", "ftp://files.test:80/doc/6"),
+        ("https://h.test/", "https://h.test/"),  # root slash kept
+        ("https://h.test:8443/x", "https://h.test:8443/x"),  # odd port kept
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(url_normalize(F.col("url"))).collect()]
+    assert got == [e for _, e in cases]
+
+
 def test_vocab_coverage_semantics_and_plan(spark):
     from page_segmentation_spark.functions.text import vocab_coverage
 
