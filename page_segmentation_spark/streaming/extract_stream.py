@@ -30,6 +30,22 @@ from page_segmentation_spark.plans.extract import extract
 from page_segmentation_spark.sources.pages_schema import PAGES_DDL
 
 
+def _plan_fn(plan: str):
+    """Resolve the per-batch extraction plan: "declarative" (node-table
+    pipeline, one Exchange) or "fused" (zero-shuffle single Arrow stage,
+    plans/extract_fused.py) — byte-identical outputs, so streaming
+    semantics are unchanged either way."""
+    if plan == "declarative":
+        return extract
+    if plan == "fused":
+        from page_segmentation_spark.plans.extract_fused import (
+            extract_fused,
+        )
+
+        return extract_fused
+    raise ValueError(f"plan must be 'declarative' or 'fused', got {plan!r}")
+
+
 def stream_extract(
     spark: SparkSession,
     input_path: str,
@@ -37,9 +53,11 @@ def stream_extract(
     checkpoint_path: str,
     settings: ExtractSettings | None = None,
     trigger_available_now: bool = True,
+    plan: str = "declarative",
 ):
     """Incrementally extract newly-landed page files.  Returns the
     StreamingQuery (caller awaits termination)."""
+    build = _plan_fn(plan)
     pages = (
         spark.readStream.schema(PAGES_DDL)
         .option("maxFilesPerTrigger", 64)
@@ -47,7 +65,7 @@ def stream_extract(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        result = extract(batch_df, settings)
+        result = build(batch_df, settings)
         # idempotent: overwrite THIS batch's directory so a post-crash
         # retry replaces its partial output rather than duplicating it
         result.write.mode("overwrite").parquet(
@@ -72,6 +90,7 @@ def stream_extract_warc(
     settings: ExtractSettings | None = None,
     trigger_available_now: bool = True,
     max_files_per_trigger: int = 16,
+    plan: str = "declarative",
 ):
     """Incremental extraction straight off a landing directory of WARC
     files (the continuously-running crawl-consumer shape): streaming
@@ -106,8 +125,10 @@ def stream_extract_warc(
         F.lit(None).cast("string").alias("lang"),
     )
 
+    build = _plan_fn(plan)
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        extract(batch_df, settings).write.mode("overwrite").parquet(
+        build(batch_df, settings).write.mode("overwrite").parquet(
             f"{output_path}/batch_id={batch_id}"
         )
 

@@ -239,3 +239,26 @@ def test_stream_extract_warc_matches_batch(spark, tmp_path):
     _warc("b.warc.gz", range(6, 9))
     stream_extract_warc(spark, src, out, ckpt).awaitTermination(120)
     assert spark.read.parquet(out).count() == 9
+
+
+def test_stream_extract_fused_plan_matches_batch(spark, tmp_path):
+    import pytest as _pytest
+
+    src = str(tmp_path / "pages_in_f")
+    out = str(tmp_path / "extracted_f")
+    ckpt = str(tmp_path / "ckpt_f")
+    pages = pages_df(spark, 16, partitions=2).cache()
+    pages.write.parquet(src)
+
+    q = stream_extract(spark, src, out, ckpt, plan="fused")
+    q.awaitTermination(120)
+    got = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {r["url"]: r["extracted_text"] for r in extract(pages).collect()}
+    assert got == want  # fused micro-batches, byte-identical to batch
+    pages.unpersist()
+
+    with _pytest.raises(ValueError):
+        stream_extract(spark, src, out, ckpt, plan="nope")
