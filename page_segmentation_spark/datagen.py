@@ -810,6 +810,119 @@ def _enc_rc4(key: bytes, data: bytes) -> bytes:
     return bytes(a ^ b for a, b in zip(data, ks))
 
 
+# -- AES-128 forward cipher (FIPS-197), datagen's own formulation -------
+#
+# INDEPENDENT of pdf_parse's inverse cipher by construction (CLAUDE.md
+# invariant 7): the S-box here comes from a Fermat a^254 square-and-
+# multiply inverse + bit-matrix affine (the parser derives its S-box
+# from exp/log tables + a rotate-XOR affine), multiplication is a
+# table-driven xtime ladder (the parser uses a peasant loop), and the
+# schedule works on big-endian ints (the parser on byte strings).  The
+# FIPS-197 appendix-C known-answer test in tests/test_pdf_crypt.py
+# pins BOTH derivations to the published vector.
+
+_ENC_XTIME = bytes(
+    ((x << 1) ^ (0x1B if x & 0x80 else 0)) & 0xFF for x in range(256)
+)
+
+
+def _enc_mul(a: int, b: int) -> int:
+    """GF(2^8) product: accumulate xtime^k(a) over the set bits of b."""
+    p = 0
+    for _ in range(8):
+        if b & 1:
+            p ^= a
+        a = _ENC_XTIME[a]
+        b >>= 1
+    return p
+
+
+def _enc_sbox() -> bytes:
+    sbox = bytearray(256)
+    for a in range(256):
+        # inverse = a^254 (Fermat): product of a^(2^k), k = 1..7
+        inv, sq = 1, a
+        for _ in range(7):
+            sq = _enc_mul(sq, sq)
+            inv = _enc_mul(inv, sq)
+        if a == 0:
+            inv = 0
+        s = 0
+        for i in range(8):  # affine: b_i ^ b_{i+4} ^ b_{i+5} ^ b_{i+6} ^ b_{i+7} ^ c_i
+            bit = (
+                (inv >> i)
+                ^ (inv >> ((i + 4) % 8))
+                ^ (inv >> ((i + 5) % 8))
+                ^ (inv >> ((i + 6) % 8))
+                ^ (inv >> ((i + 7) % 8))
+                ^ (0x63 >> i)
+            ) & 1
+            s |= bit << i
+        sbox[a] = s
+    return bytes(sbox)
+
+
+_ENC_SBOX = _enc_sbox()
+
+
+def _enc_round_keys(key: bytes) -> List[bytes]:
+    """AES-128 schedule over big-endian 32-bit words; round key r is
+    its four words' bytes concatenated (column-major, like the state)."""
+    w = [int.from_bytes(key[i: i + 4], "big") for i in range(0, 16, 4)]
+    rc = 1
+    for i in range(4, 44):
+        t = w[i - 1]
+        if i % 4 == 0:
+            t = ((t << 8) | (t >> 24)) & 0xFFFFFFFF  # RotWord
+            t = int.from_bytes(
+                bytes(_ENC_SBOX[x] for x in t.to_bytes(4, "big")), "big"
+            )  # SubWord
+            t ^= rc << 24
+            rc = _enc_mul(rc, 2)
+        w.append(w[i - 4] ^ t)
+    return [
+        b"".join(w[4 * r + c].to_bytes(4, "big") for c in range(4))
+        for r in range(11)
+    ]
+
+
+def _enc_block(rks: List[bytes], block: bytes) -> bytes:
+    """Forward cipher on one 16-byte block (state flat index 4*col+row)."""
+    s = bytearray(a ^ b for a, b in zip(block, rks[0]))
+    for rnd in range(1, 11):
+        s = bytearray(_ENC_SBOX[x] for x in s)  # SubBytes
+        s = bytearray(  # ShiftRows: row r rotates LEFT by r
+            s[4 * ((c + r) % 4) + r] for c in range(4) for r in range(4)
+        )
+        if rnd < 10:  # MixColumns
+            t = bytearray(16)
+            for c in range(4):
+                a0, a1, a2, a3 = s[4 * c: 4 * c + 4]
+                t[4 * c + 0] = _enc_mul(a0, 2) ^ _enc_mul(a1, 3) ^ a2 ^ a3
+                t[4 * c + 1] = a0 ^ _enc_mul(a1, 2) ^ _enc_mul(a2, 3) ^ a3
+                t[4 * c + 2] = a0 ^ a1 ^ _enc_mul(a2, 2) ^ _enc_mul(a3, 3)
+                t[4 * c + 3] = _enc_mul(a0, 3) ^ a1 ^ a2 ^ _enc_mul(a3, 2)
+            s = t
+        s = bytearray(x ^ k for x, k in zip(s, rks[rnd]))
+    return bytes(s)
+
+
+def _enc_aes_cbc(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """AES-128-CBC with PKCS#7 padding (always 1..16 pad bytes);
+    returns ciphertext only — callers prepend the IV per AESV2."""
+    pad = 16 - (len(data) % 16)
+    data = data + bytes((pad,)) * pad
+    rks = _enc_round_keys(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        prev = _enc_block(
+            rks, bytes(a ^ b for a, b in zip(data[i: i + 16], prev))
+        )
+        out += prev
+    return bytes(out)
+
+
 def encrypt_pdf(
     pdf: bytes,
     v: int = 2,
@@ -847,6 +960,11 @@ def encrypt_pdf(
             key = hashlib.md5(key[:n]).digest()
     file_key = key[:n]
 
+    if v == 4:  # /CFM /AESV2: lengths change, so re-serialize
+        return _encrypt_pdf_aes(
+            pdf, file_key, owner_entry, perms, file_id, enc_onum
+        )
+
     out = bytearray(pdf)
     headers = list(_re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", pdf))
     for k, hm in enumerate(headers):
@@ -879,6 +997,105 @@ def encrypt_pdf(
         f"/ID [<{file_id.hex()}> <{file_id.hex()}>] >>\n%%EOF\n"
     ).encode("ascii")
     return bytes(out) + tail
+
+
+def _encrypt_pdf_aes(
+    pdf: bytes,
+    file_key: bytes,
+    owner_entry: bytes,
+    perms: int,
+    file_id: bytes,
+    enc_onum: int,
+) -> bytes:
+    """AESV2 (/V 4 /R 4) encryption of a datagen-built PDF.  Unlike
+    RC4, AES grows every payload (16-byte IV prefix + PKCS#7 padding),
+    so this RE-SERIALIZES the document — each stream's direct /Length
+    is patched to the ciphertext length and a fresh xref table +
+    trailer replace the original tail (real encryption tools rewrite
+    the xref for the same reason).  Per-object keys follow 7.6.2 with
+    the AESV2 b"sAlT" suffix; IVs are deterministic digests of the
+    object number + /ID so datagen output is reproducible.  Scope:
+    direct /Length table-xref or xref-less datagen files (the only
+    shapes datagen emits for this path)."""
+    import hashlib
+    import re as _re
+
+    headers = list(_re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", pdf))
+    if not headers:
+        return pdf
+    # the original tail (xref table and/or trailer) is rebuilt, not
+    # copied: its offsets are stale the moment lengths change
+    tail_at = len(pdf)
+    m_sx = None
+    for m in _re.finditer(rb"startxref\s+(\d+)", pdf):
+        m_sx = m
+    if m_sx is not None:
+        tail_at = int(m_sx.group(1))
+    else:
+        for m in _re.finditer(rb"(?m)^trailer\b", pdf):
+            tail_at = min(tail_at, m.start())
+    root_m = _re.search(rb"/Root\s+\d+\s+\d+\s+R", pdf[tail_at:])
+
+    out = bytearray(pdf[: headers[0].start()])
+    offsets: Dict[int, int] = {}
+    for k, hm in enumerate(headers):
+        span_end = (
+            headers[k + 1].start() if k + 1 < len(headers) else tail_at
+        )
+        onum, gen = int(hm.group(1)), int(hm.group(2))
+        offsets[onum] = len(out)
+        span = pdf[hm.start(): span_end]
+        rel = hm.end() - hm.start()
+        ms = _re.search(rb"stream\r?\n", span)
+        mlen = ms and _re.search(
+            rb"/Length\s+(\d+)\b", span[rel: ms.start()]
+        )
+        if not ms or not mlen:
+            out += span
+            continue
+        ln = int(mlen.group(1))
+        start = ms.end()
+        payload = span[start: start + ln]
+        okey = hashlib.md5(
+            file_key
+            + onum.to_bytes(3, "little")
+            + gen.to_bytes(2, "little")
+            + b"sAlT"
+        ).digest()[: min(len(file_key) + 5, 16)]
+        iv = hashlib.md5(
+            b"datagen-iv" + onum.to_bytes(4, "big") + file_id
+        ).digest()
+        ct = iv + _enc_aes_cbc(okey, iv, payload)
+        head = span[:start]
+        a, b = rel + mlen.start(1), rel + mlen.end(1)
+        out += head[:a] + str(len(ct)).encode("ascii") + head[b:]
+        out += ct + span[start + ln:]
+
+    offsets[enc_onum] = len(out)
+    out += (
+        f"{enc_onum} 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        f"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+        f"/StmF /StdCF /StrF /StdCF "
+        f"/O <{owner_entry.hex()}> /U <{owner_entry.hex()}> "
+        f"/P {perms} >>\nendobj\n"
+    ).encode("ascii")
+    xref_at = len(out)
+    max_obj = max(offsets)
+    lines = ["xref", f"0 {max_obj + 1}", "0000000000 65535 f "]
+    for i in range(1, max_obj + 1):
+        if i in offsets:
+            lines.append(f"{offsets[i]:010d} 00000 n ")
+        else:
+            lines.append("0000000000 65535 f ")
+    root = (" " + root_m.group(0).decode("ascii")) if root_m else ""
+    out += ("\n".join(lines) + "\n").encode("ascii")
+    out += (
+        f"trailer\n<< /Size {max_obj + 1}{root} "
+        f"/Encrypt {enc_onum} 0 R "
+        f"/ID [<{file_id.hex()}> <{file_id.hex()}>] >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode("ascii")
+    return bytes(out)
 
 
 def make_pdf_page(doc_id: int, seed: int = 42) -> Dict[str, object]:

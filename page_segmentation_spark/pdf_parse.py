@@ -48,15 +48,16 @@ extraction itself never depends on the object map).  Content inside
 invocation site (recursion bounded, cycles guarded), with the carried
 font state flowing in and out — the standard real-crawl shape where
 letterhead/body live in form XObjects.  ENCRYPTED files with the
-standard security handler in its RC4 forms (/V 1-2, /R 2-3) and an
-empty user password — the ubiquitous "owner-locked" crawl PDF — are
-decrypted per object (file key from /O,/P,/ID per the public ISO
-32000-1 algorithms; see the crypt section below).  CID fonts WITHOUT
+standard security handler in its RC4 forms (/V 1-2, /R 2-3) AND its
+AES-128-CBC form (/V 4 /CFM /AESV2, R 4) with an empty user password —
+the ubiquitous "owner-locked" crawl PDF — are decrypted per object
+(file key from /O,/P,/ID per the public ISO 32000-1 algorithms; see
+the crypt section below).  CID fonts WITHOUT
 /ToUnicode decode under /Identity-H by reversing the embedded
 FontFile2 TrueType ``cmap`` table (formats 4 and 12; /CIDToGIDMap as
 /Identity or a u16 stream) — see :func:`parse_ttf_cmap`.  Anything
-outside this scope (AES-encrypted or password-protected PDFs, CFF
-/FontFile3 outlines, non-Identity CID encodings) parses to whatever
+outside this scope (AES-256 /V 5 handlers, password-protected PDFs,
+CFF /FontFile3 outlines, non-Identity CID encodings) parses to whatever
 text ops are visible — never an error (malformed inputs must not fail
 a batch, same contract as parse_html).
 """
@@ -98,7 +99,49 @@ def _own_dict(d: bytes) -> bytes:
     if depth == 0 or start < 0:
         return d
     return d[start + 2:]
-_BT_RE = re.compile(rb"\bBT\b(.*?)\bET\b", re.S)
+_BT_OPEN_RE = re.compile(rb"\bBT\b")
+# hop targets while scanning for a segment's closing ET: the operator
+# itself, a literal-string open, or a hex-string/dict open
+_ET_HOP_RE = re.compile(rb"\bET\b|[(<]")
+
+
+def _bt_segments(stream: bytes) -> List[Tuple[int, int, bytes]]:
+    """(start, end, body) for every ``BT .. ET`` text object, where the
+    closing ET is the first one OUTSIDE string arguments — a show
+    string containing the bare word ET (``(ET) Tj``) no longer
+    terminates the segment the way a non-greedy ``BT(.*?)ET`` regex
+    did.  The scan hops C-level between string opens (skipped with the
+    literal decoder / a hex find) and ET tokens, so cost stays one
+    search per show string.  An unterminated BT drops, as before."""
+    out: List[Tuple[int, int, bytes]] = []
+    pos = 0
+    n = len(stream)
+    while True:
+        mb = _BT_OPEN_RE.search(stream, pos)
+        if mb is None:
+            return out
+        i = mb.end()
+        et = -1
+        while i < n:
+            mh = _ET_HOP_RE.search(stream, i)
+            if mh is None:
+                break
+            c = stream[mh.start()]
+            if c == 0x28:  # ( literal string: skip via the decoder
+                _raw, i = _decode_literal(stream, mh.start())
+            elif c == 0x3C:  # <hex string> or << dict >>
+                if stream[mh.start() + 1: mh.start() + 2] == b"<":
+                    i = mh.start() + 2
+                else:
+                    j = stream.find(b">", mh.start() + 1)
+                    i = n if j < 0 else j + 1
+            else:
+                et = mh.start()
+                break
+        if et < 0:
+            return out  # unterminated BT: dropped, matching the old re
+        out.append((mb.start(), et + 2, stream[mb.end(): et]))
+        pos = et + 2
 _TF_RE = re.compile(rb"/([A-Za-z0-9]+)\s+([0-9]+(?:\.[0-9]+)?)\s+Tf")
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)\bendobj", re.S)
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
@@ -117,16 +160,23 @@ _ESCAPES = {
 }
 
 
-# -- encryption: standard security handler, RC4 (V 1/2, R 2/3) ----------
+# -- encryption: standard security handler ------------------------------
+#    RC4 (V 1/2, R 2/3) and AES-128-CBC (V 4 /CFM /AESV2, R 4)
 #
 # The common crawl shape is the "owner-locked" PDF: encrypted with an
 # EMPTY user password (opens for everyone; the password only gates
 # editing).  Algorithms 2 and 7.6.2 of the public PDF 1.7 spec (ISO
-# 32000-1): file key = md5(pad || /O || /P || /ID[0]) (R3: 50 md5
-# folds), per-object key = md5(file key || objnum_le3 || gen_le2).
-# RC4 is ~15 lines of stdlib; AES (/V 4+) and non-empty user passwords
-# stay out of scope (documented above) — such files degrade to the
-# whatever-is-visible contract like any other unreadable input.
+# 32000-1): file key = md5(pad || /O || /P || /ID[0]) (R >= 3: 50 md5
+# folds), per-object key = md5(file key || objnum_le3 || gen_le2),
+# with the AESV2 salt b"sAlT" appended for AES objects.  AESV2
+# payloads are IV(16) || AES-128-CBC ciphertext with PKCS#7 padding;
+# the inverse cipher below is numpy-VECTORIZED ACROSS BLOCKS (CBC
+# decryption is embarrassingly parallel: every block decrypts
+# independently, then XORs with the previous ciphertext block), so
+# cost per byte is a handful of table lookups, not a Python loop.
+# AES-256 (/V 5) and non-empty user passwords stay out of scope
+# (documented above) — such files degrade to the whatever-is-visible
+# contract like any other unreadable input.
 
 _CRYPT_PAD = bytes((
     0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
@@ -155,21 +205,151 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+def _aes_tables():
+    """AES S-box + inverse, built per FIPS-197 §5.1.1 from GF(2^8)
+    exp/log tables (generator 0x03) — constructed, not transcribed, so
+    the FIPS-197 known-answer test in tests/test_pdf_crypt.py pins the
+    whole derivation, not just 256 copied literals."""
+    exp = [0] * 255
+    log = [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x ^= ((x << 1) ^ (0x1B if x & 0x80 else 0)) & 0xFF  # x *= 0x03
+    sbox = bytearray(256)
+    for v in range(256):
+        s = exp[(255 - log[v]) % 255] if v else 0  # mult. inverse
+        r = s
+        for _ in range(4):  # affine transform: b ^ rot1..rot4 ^ 0x63
+            s = ((s << 1) | (s >> 7)) & 0xFF
+            r ^= s
+        sbox[v] = r ^ 0x63
+    inv = bytearray(256)
+    for i, s in enumerate(sbox):
+        inv[s] = i
+    return bytes(sbox), bytes(inv)
+
+
+_AES_SBOX, _AES_INV_SBOX = _aes_tables()
+
+
+def _gf_mul(a: int, b: int) -> int:
+    """GF(2^8) multiply, AES polynomial 0x11B (peasant algorithm)."""
+    p = 0
+    while b:
+        if b & 1:
+            p ^= a
+        a = ((a << 1) ^ (0x1B if a & 0x80 else 0)) & 0xFF
+        b >>= 1
+    return p
+
+
+def _aes_round_keys(key: bytes) -> List[bytes]:
+    """AES-128 key expansion (FIPS-197 §5.2): 11 round keys of 16
+    bytes, words laid out in column order (flat index = 4*col + row —
+    the same layout the block functions use for the state)."""
+    words = [key[i: i + 4] for i in range(0, 16, 4)]
+    rcon = 1
+    for i in range(4, 44):
+        t = words[i - 1]
+        if i % 4 == 0:
+            t = bytes(
+                (
+                    _AES_SBOX[t[1]] ^ rcon,
+                    _AES_SBOX[t[2]],
+                    _AES_SBOX[t[3]],
+                    _AES_SBOX[t[0]],
+                )
+            )
+            rcon = ((rcon << 1) ^ (0x1B if rcon & 0x80 else 0)) & 0xFF
+        words.append(bytes(a ^ b for a, b in zip(words[i - 4], t)))
+    return [b"".join(words[4 * r: 4 * r + 4]) for r in range(11)]
+
+
+# InvShiftRows on the flat column-major state (index 4*col + row):
+# row r rotates RIGHT by r, so new[4c+r] = old[4*((c-r) % 4) + r].
+_AES_INV_SHIFT = tuple(
+    4 * ((c - r) % 4) + r for c in range(4) for r in range(4)
+)
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """AES-128-CBC decrypt of an AESV2 payload (IV = data[:16]), PKCS#7
+    padding stripped.  Vectorized across blocks with numpy: the state
+    is an (n_blocks, 16) uint8 matrix; SubBytes is one fancy-index
+    lookup, ShiftRows a column permutation, AddRoundKey a broadcast
+    XOR, and InvMixColumns twelve 256-entry table lookups — every round
+    touches ALL blocks at once, so per-byte cost is table lookups, not
+    Python bytecode.  Malformed payloads (short, ragged, bad padding)
+    return unchanged/unpadded bytes: parse degrades, never raises."""
+    import numpy as np
+
+    if len(data) < 32 or (len(data) - 16) % 16:
+        return data  # not an AESV2 shape — degrade, don't raise
+    iv, ct = data[:16], data[16:]
+    rks = [
+        np.frombuffer(rk, dtype=np.uint8) for rk in _aes_round_keys(key)
+    ]
+    inv_sbox = np.frombuffer(_AES_INV_SBOX, dtype=np.uint8)
+    mul = {
+        m: np.array([_gf_mul(v, m) for v in range(256)], dtype=np.uint8)
+        for m in (9, 11, 13, 14)
+    }
+    state = (
+        np.frombuffer(ct, dtype=np.uint8).reshape(-1, 16).copy()
+    )
+    state ^= rks[10]
+    perm = np.array(_AES_INV_SHIFT)
+    for rnd in range(9, 0, -1):
+        state = state[:, perm]          # InvShiftRows
+        state = inv_sbox[state]         # InvSubBytes
+        state ^= rks[rnd]               # AddRoundKey
+        cols = state.reshape(-1, 4, 4)  # [block, col, row]
+        a0, a1, a2, a3 = (cols[:, :, r].copy() for r in range(4))
+        cols[:, :, 0] = mul[14][a0] ^ mul[11][a1] ^ mul[13][a2] ^ mul[9][a3]
+        cols[:, :, 1] = mul[9][a0] ^ mul[14][a1] ^ mul[11][a2] ^ mul[13][a3]
+        cols[:, :, 2] = mul[13][a0] ^ mul[9][a1] ^ mul[14][a2] ^ mul[11][a3]
+        cols[:, :, 3] = mul[11][a0] ^ mul[13][a1] ^ mul[9][a2] ^ mul[14][a3]
+    state = inv_sbox[state[:, perm]] ^ rks[0]
+    # CBC chaining: plaintext[i] = D(ct[i]) ^ ct[i-1], ct[-1] = IV —
+    # one vectorized XOR against the shifted ciphertext matrix
+    prev = np.vstack(
+        (
+            np.frombuffer(iv, dtype=np.uint8)[None, :],
+            np.frombuffer(ct, dtype=np.uint8).reshape(-1, 16)[:-1],
+        )
+    )
+    plain = (state ^ prev).tobytes()
+    pad = plain[-1]
+    if 1 <= pad <= 16:
+        return plain[:-pad]
+    return plain  # bad padding: degrade
+
+
 class _Decryptor:
-    """Per-object RC4 decryption around a computed file key."""
+    """Per-object decryption around a computed file key: RC4 keystream
+    for /V 1-2 handlers, AES-128-CBC for /V 4 /CFM /AESV2 (the per-
+    object key gains the spec's b"sAlT" suffix and payloads carry a
+    16-byte IV prefix + PKCS#7 padding)."""
 
-    __slots__ = ("key",)
+    __slots__ = ("key", "aes")
 
-    def __init__(self, key: bytes) -> None:
+    def __init__(self, key: bytes, aes: bool = False) -> None:
         self.key = key
+        self.aes = aes
 
     def decrypt(self, onum: int, payload: bytes) -> bytes:
         import hashlib
 
+        salt = b"sAlT" if self.aes else b""
         h = hashlib.md5(
-            self.key + onum.to_bytes(3, "little") + b"\x00\x00"
+            self.key + onum.to_bytes(3, "little") + b"\x00\x00" + salt
         ).digest()
-        return _rc4(h[: min(len(self.key) + 5, 16)], payload)
+        okey = h[: min(len(self.key) + 5, 16)]
+        if self.aes:
+            return _aes_cbc_decrypt(okey, payload)
+        return _rc4(okey, payload)
 
 
 def _dict_string(body: bytes, name: bytes) -> Optional[bytes]:
@@ -221,13 +401,14 @@ def build_decryptor(data: bytes) -> Optional[_Decryptor]:
         return None
     v = _dict_int(body, b"/V") or 0
     r = _dict_int(body, b"/R") or 0
-    if v not in (1, 2) or r not in (2, 3):
-        return None  # AES / newer handlers: out of scope
+    aes = v == 4 and b"/AESV2" in body
+    if not aes and (v not in (1, 2) or r not in (2, 3)):
+        return None  # AES-256 (/V 5) / newer handlers: out of scope
     o = _dict_string(body, b"/O")
     p = _dict_int(body, b"/P")
     if o is None or len(o) < 32 or p is None:
         return None
-    nbits = _dict_int(body, b"/Length") or 40
+    nbits = 128 if aes else (_dict_int(body, b"/Length") or 40)
     m_id = _ID_FIRST_HEX_RE.search(data)
     id0 = b""
     if m_id:
@@ -248,7 +429,7 @@ def build_decryptor(data: bytes) -> Optional[_Decryptor]:
     if r >= 3:
         for _ in range(50):
             key = hashlib.md5(key[:n]).digest()
-    return _Decryptor(key[:n])
+    return _Decryptor(key[:n], aes=aes)
 
 
 _LITERAL_SPECIAL_RE = re.compile(rb"[\\()]")
@@ -1089,7 +1270,7 @@ def _walk_stream(
     (recursively, ancestors cycle-guarded), with the carried font state
     flowing in and out exactly as the PDF graphics state does."""
     events: List[tuple] = [
-        (m.start(), m.end(), "bt", m) for m in _BT_RE.finditer(stream)
+        (s, e, "bt", body) for s, e, body in _bt_segments(stream)
     ]
     spans = [(s, e) for s, e, _k, _m in events]
     for m in _DO_RE.finditer(stream):
@@ -1103,7 +1284,7 @@ def _walk_stream(
         state = _apply_tf(stream[pos:start], state)
         pos = end
         if kind == "bt":
-            raw, size, state = _segment_text(m.group(1), state, cmaps)
+            raw, size, state = _segment_text(m, state, cmaps)
             text = " ".join(raw.split())
             if text:
                 blocks.append((size, text))
