@@ -311,3 +311,63 @@ def embedding_neardup_pairs(
         F.col("y.sid").alias("id_b"),
         sim.alias("cos_sim"),
     ).where(F.col("cos_sim") >= threshold)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_centroids: int = 4,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding corpus, then mark as
+    duplicates the members whose cosine to a LOWER-id member of the SAME
+    cluster reaches ``threshold``.  Keep rule = lowest id (deterministic,
+    oracle-expressible; the paper keeps the point farthest from the
+    centroid — same cluster-blocked shape, different tie policy).
+
+    Scale shape: assignment is the zero-shuffle broadcast-fold of
+    :func:`ivf_assign`; the pair search is an equi-join on the cluster id
+    (one hash shuffle keyed by ``list_id``) so the quadratic term is
+    bounded by the largest CLUSTER, never the corpus — exactly the
+    SemDeDup recipe for 10^9+ corpora (k is chosen so clusters fit an
+    executor; skewed clusters can be salted with operators/skew.py).
+    Deterministic coarse quantizer: centroids are the embeddings of the
+    first ``n_centroids`` ids (fixed anchors standing in for trained
+    k-means, same convention as :func:`ivf_topk`).
+
+    Output: one row per input — (id, list_id, keep) with keep=1 for the
+    retained representative set, keep=0 for semantic duplicates.
+
+    Thresholding happens on the ROUNDED (6-dp) cosine so the Spark and
+    DuckDB sides agree bit-for-bit at the boundary.
+    """
+    cent = df.where(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("list_id"), F.col(vec_col).alias("cvec")
+    )
+    assigned = ivf_assign(df, cent, id_col=id_col, vec_col=vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("aid"),
+        F.col(vec_col).alias("avec"),
+        F.col("list_id").alias("alist"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("bid"),
+        F.col(vec_col).alias("bvec"),
+        F.col("list_id").alias("blist"),
+    )
+    dup = (
+        a.join(b, (F.col("alist") == F.col("blist")) & (F.col("bid") < F.col("aid")))
+        .where(F.round(cosine(F.col("avec"), F.col("bvec")), 6) >= threshold)
+        .select(F.col("aid"))
+        .distinct()
+    )
+    return (
+        assigned.join(dup, assigned[id_col] == dup["aid"], "left")
+        .select(
+            F.col(id_col),
+            F.col("list_id"),
+            F.col("aid").isNull().cast("int").alias("keep"),
+        )
+    )

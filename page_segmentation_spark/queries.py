@@ -913,6 +913,42 @@ def sim_lsh_neardup(spark, sf_dir):
     return S.embedding_neardup_pairs(emb, dim=64, threshold=0.15, n_planes=4)
 
 
+@_q(
+    "sim_semantic_dedup",
+    f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    cents AS (
+      SELECT vec_id AS list_id, embedding AS cvec FROM sub WHERE vec_id < 4
+    ), assign AS (
+      SELECT e.vec_id, e.embedding, c.list_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC,
+                        c.list_id ASC) AS rn
+      FROM sub e, cents c
+    ), a AS (SELECT vec_id, embedding, list_id FROM assign WHERE rn = 1),
+    dup AS (
+      SELECT DISTINCT x.vec_id
+      FROM a x JOIN a y ON x.list_id = y.list_id AND y.vec_id < x.vec_id
+      WHERE round({_cos_sql('x.embedding', 'y.embedding')}, 6) >= 0.15
+    )
+    SELECT a.vec_id, a.list_id,
+           CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+    FROM a LEFT JOIN dup ON dup.vec_id = a.vec_id
+    """,
+)
+def sim_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup: IVF-cluster the embeddings (the
+    zero-shuffle broadcast-fold assignment), then mark cosine>=threshold
+    neighbors of a lower id WITHIN each cluster as duplicates — keep=1
+    is the retained set.  The quadratic term is bounded per cluster, the
+    shape that scales to 10^9+ docs (arXiv:2303.09540).  threshold=0.15
+    keeps the tiny-SF check non-vacuous (random fixtures have no 0.95
+    near-dups); production uses ~0.95 with trained k-means centroids."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    return S.semantic_dedup(emb, n_centroids=4, threshold=0.15)
+
+
 # ------------------------------------------------------------ text analysis
 
 @_q(

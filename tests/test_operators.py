@@ -85,3 +85,46 @@ def test_spans_dilation_bridges(spark):
     }
     # dilation radius 1: gap 1-3 becomes just {2}, len 1 < 2 -> merged
     assert spans == {(0, 4, 2)}
+
+
+def test_semantic_dedup_keeps_lowest_id_per_neighborhood(spark):
+    """SemDeDup shape: cluster by nearest anchor centroid, then keep=0
+    exactly for rows with a cosine>=threshold neighbor of LOWER id in
+    the SAME cluster.  Two tight clusters along orthogonal axes: ids
+    {0,2,4} hug +x, ids {1,3} hug +y — orthogonal across clusters, so
+    dedup never crosses them."""
+    from page_segmentation_spark.operators.similarity import semantic_dedup
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [1.0, 0.05, 0.0]),
+        (3, [0.0, 1.0, 0.05]),
+        (4, [1.0, 0.0, 0.05]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: (r["list_id"], r["keep"])
+        for r in semantic_dedup(df, n_centroids=2, threshold=0.9).collect()
+    }
+    assert out == {
+        0: (0, 1),  # cluster anchor, lowest id -> kept
+        1: (1, 1),
+        2: (0, 0),  # cos(0,2) ~ 0.9988 >= 0.9 -> dup of 0
+        3: (1, 0),
+        4: (0, 0),
+    }
+
+
+def test_semantic_dedup_below_threshold_keeps_all(spark):
+    from page_segmentation_spark.operators.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.7, 0.7])],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_dedup(df, n_centroids=2, threshold=0.999)
+    assert [r["keep"] for r in out.orderBy("vec_id").collect()] == [1, 1, 1]

@@ -84,6 +84,25 @@ def test_ivf_assign_is_shuffle_free(spark):
     assert len(rows) == {r[0] for r in emb.agg(F.count(F.lit(1))).collect()}.pop()
 
 
+def test_semantic_dedup_pair_stage_is_cluster_equi_join(spark):
+    """SemDeDup's pair search must equi-join on the cluster id (hash
+    join keyed by list_id) — quadratic only WITHIN a cluster.  The two
+    BroadcastNestedLoopJoin Cross nodes are the intentional ONE-ROW
+    centroid-array attaches from ivf_assign (N x 1 rows, not a pair
+    blow-up); a CartesianProduct or a non-equi pair join is the failure
+    mode this audit guards."""
+    plan = _plan(QUERIES["sim_semantic_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    # the a-vs-b pair stage: an equi hash join on alist == blist
+    assert "HashJoin [alist" in plan, plan
+    # every nested-loop node is a single-row scalar attach (identity
+    # broadcast of the collapsed centroid array), never a pair join
+    import re
+
+    nl = [m.start() for m in re.finditer("BroadcastNestedLoopJoin", plan)]
+    assert len(nl) <= 3, plan  # one per ivf_assign leg (a, b, output)
+
+
 def test_topk_is_take_ordered(spark):
     """Brute-force cosine top-k must not global-sort: TakeOrderedAndProject
     keeps k rows per partition and merges on the driver."""
