@@ -319,6 +319,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the embedding corpus, then mark as
@@ -333,9 +334,11 @@ def semantic_dedup(
     bounded by the largest CLUSTER, never the corpus — exactly the
     SemDeDup recipe for 10^9+ corpora (k is chosen so clusters fit an
     executor; skewed clusters can be salted with operators/skew.py).
-    Deterministic coarse quantizer: centroids are the embeddings of the
-    first ``n_centroids`` ids (fixed anchors standing in for trained
-    k-means, same convention as :func:`ivf_topk`).
+    Deterministic coarse quantizer: centroids default to the embeddings
+    of the first ``n_centroids`` ids (fixed anchors, same convention as
+    :func:`ivf_topk`); pass ``centroids`` (a (list_id, cvec) table, e.g.
+    the output of clustering.kmeans_fit) to dedup against a TRAINED
+    quantizer instead.
 
     Output: one row per input — (id, list_id, keep) with keep=1 for the
     retained representative set, keep=0 for semantic duplicates.
@@ -343,10 +346,13 @@ def semantic_dedup(
     Thresholding happens on the ROUNDED (6-dp) cosine so the Spark and
     DuckDB sides agree bit-for-bit at the boundary.
     """
-    cent = df.where(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("list_id"), F.col(vec_col).alias("cvec")
+    if centroids is None:
+        centroids = df.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("list_id"), F.col(vec_col).alias("cvec")
+        )
+    assigned = ivf_assign(
+        df, centroids.select("list_id", "cvec"), id_col=id_col, vec_col=vec_col
     )
-    assigned = ivf_assign(df, cent, id_col=id_col, vec_col=vec_col)
     a = assigned.select(
         F.col(id_col).alias("aid"),
         F.col(vec_col).alias("avec"),

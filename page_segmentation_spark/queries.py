@@ -949,6 +949,58 @@ def sim_semantic_dedup(spark, sf_dir):
     return S.semantic_dedup(emb, n_centroids=4, threshold=0.15)
 
 
+@_q(
+    "sim_kmeans_step",
+    f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    cents AS (
+      SELECT vec_id AS list_id, embedding AS cvec FROM sub WHERE vec_id < 4
+    ), assign AS (
+      SELECT e.vec_id, e.embedding, c.list_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC,
+                        c.list_id ASC) AS rn
+      FROM sub e, cents c
+    ), a AS (SELECT vec_id, embedding, list_id FROM assign WHERE rn = 1),
+    agg AS (
+      SELECT list_id, CAST(count(*) AS BIGINT) AS n_members,
+        {', '.join(
+            f"sum(CAST(floor(CAST(embedding[{i + 1}] AS DOUBLE)"
+            f" * 1048576.0) AS BIGINT)) AS s_{i}"
+            for i in range(64)
+        )}
+      FROM a GROUP BY list_id
+    )
+    SELECT CAST(list_id AS BIGINT) AS list_id, t.dim_idx, n_members,
+           ((t.qsum - (((t.qsum % n_members) + n_members) % n_members))
+             / n_members) / 1048576.0 AS cmean
+    FROM agg, unnest([
+      {', '.join(
+          f"{{'dim_idx': {i}, 'qsum': s_{i}}}" for i in range(64)
+      )}
+    ]) AS u(t)
+    """,
+)
+def sim_kmeans_step(spark, sf_dir):
+    """One Lloyd k-means iteration (clustering.kmeans_step): zero-shuffle
+    nearest-centroid assignment + ONE hash aggregate of quantized-integer
+    dimension sums — the order-independent centroid update that makes the
+    fit bit-identical across partitionings and engines (CLAUDE.md
+    determinism rule: no float SUM over unordered groups).  Output is
+    exploded per dimension so every compared cell is a scalar."""
+    from page_segmentation_spark.operators import clustering as KM
+
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    cent = KM.anchor_centroids(emb, 4)
+    step = KM.kmeans_step(emb, cent, dim=64)
+    return step.select(
+        "list_id",
+        "n_members",
+        F.posexplode("cvec").alias("dim_idx", "cmean"),
+    ).select("list_id", "dim_idx", "n_members", "cmean")
+
+
 # ------------------------------------------------------------ text analysis
 
 @_q(

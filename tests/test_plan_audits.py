@@ -103,6 +103,19 @@ def test_semantic_dedup_pair_stage_is_cluster_equi_join(spark):
     assert len(nl) <= 3, plan  # one per ivf_assign leg (a, b, output)
 
 
+def test_kmeans_step_single_aggregate_shuffle(spark):
+    """One Lloyd iteration = zero-shuffle assignment + ONE hash
+    aggregate keyed by list_id (map-side partial combine of dim integer
+    sums).  More exchanges would mean the corpus is shuffled for the
+    assignment too — the naive crossJoin+window shape."""
+    plan = _plan(QUERIES["sim_kmeans_step"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    # corpus-side exchanges: the groupBy(list_id) agg, and the k-row
+    # join back onto the previous centroid table
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
 def test_topk_is_take_ordered(spark):
     """Brute-force cosine top-k must not global-sort: TakeOrderedAndProject
     keeps k rows per partition and merges on the driver."""
