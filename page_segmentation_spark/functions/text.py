@@ -300,3 +300,74 @@ def lang_score_sql(col: str, lang: str) -> str:
 
 def _as_dbl(e: str) -> str:
     return f"CAST({e} AS DOUBLE)"
+
+
+# ---------------------------------------------------------------- C4 rules
+
+#: Line-end characters C4 accepts as terminal punctuation (Raffel et
+#: al. 2020 §2.2, "ended in a terminal punctuation mark").
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_keep_line(
+    line: Column,
+    min_words: int = 5,
+    banned_words: tuple = ("javascript",),
+) -> Column:
+    """The C4 per-line retention predicate: the (space-)rtrimmed line
+    ends in terminal punctuation, carries at least ``min_words``
+    whitespace words, and mentions none of ``banned_words``
+    (case-insensitive).  Pure column math with an exact DuckDB twin
+    (queries._c4_keep_sql)."""
+    t = F.rtrim(line)
+    keep = F.substring(t, -1, 1).isin(*C4_TERMINALS)
+    # word count via regexp_extract_all (regexp_count has no DuckDB twin)
+    keep = keep & (F.size(F.regexp_extract_all(t, F.lit(r"[^ ]+"), 0)) >= min_words)
+    low = F.lower(t)
+    for w in banned_words:
+        keep = keep & ~low.contains(w.lower())
+    return keep
+
+
+def c4_line_filter(
+    df,
+    id_col: str,
+    text_col: str,
+    min_words: int = 5,
+    banned_words: tuple = ("javascript",),
+    page_banned: tuple = ("lorem ipsum", "{"),
+    min_kept_lines: int = 3,
+):
+    """C4-style line-level cleaning (Raffel et al. 2020, the filter that
+    built the C4 corpus from Common Crawl): keep only lines passing
+    :func:`c4_keep_line`, reconstruct the document from kept lines in
+    original order, and flag pages for corpus-level drop — a page is
+    rejected when it contains any ``page_banned`` marker ("lorem ipsum",
+    a ``{`` suggesting code) or retains fewer than ``min_kept_lines``
+    lines.
+
+    Output: (id, clean_text, n_kept, n_removed, page_kept int).
+
+    Scale shape: a pure per-row projection — split / filter / array_join
+    are Catalyst array expressions, so the operator is zero-shuffle,
+    whole-stage-codegen'd, and embarrassingly parallel at any corpus
+    size (contrast paragraph_dedup, whose frequencies are corpus-wide
+    and need a shuffle)."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines, lambda l: c4_keep_line(l, min_words, banned_words)
+    )
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    low_text = F.lower(F.col(text_col))
+    page_bad = F.lit(False)
+    for m in page_banned:
+        page_bad = page_bad | low_text.contains(m.lower())
+    page_kept = (~page_bad) & (n_kept >= min_kept_lines)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        n_kept.cast("long").alias("n_kept"),
+        (n_lines - n_kept).cast("long").alias("n_removed"),
+        page_kept.cast("int").alias("page_kept"),
+    )

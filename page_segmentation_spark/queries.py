@@ -1595,6 +1595,67 @@ def extract_flagship(spark, sf_dir):
     )
 
 
+def _c4_keep_sql(x: str, min_words: int, banned: str) -> str:
+    """DuckDB twin of text.c4_keep_line for a line expression ``x``."""
+    return (
+        f"(right(rtrim({x}), 1) IN ('.', '!', '?', '\"')"
+        f" AND len(regexp_extract_all(rtrim({x}), '[^ ]+')) >= {min_words}"
+        f" AND NOT contains(lower(rtrim({x})), '{banned}'))"
+    )
+
+
+@_q(
+    "text_c4_filter",
+    f"""
+    WITH ext AS (
+      SELECT 'https://testdata/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             'Document ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+               || text || ' {_PAD_SQL}' || chr(10) || chr(10)
+               || reverse(text) || ' {_PAD_SQL}' AS t
+      FROM documents
+    ), f AS (
+      SELECT url, t,
+             list_filter(string_split(t, chr(10)),
+                         x -> {_c4_keep_sql('x', 5, 'customer')}) AS kept,
+             len(string_split(t, chr(10))) AS n_lines
+      FROM ext
+    )
+    SELECT url,
+           array_to_string(kept, chr(10)) AS clean_text,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(n_lines - len(kept) AS BIGINT) AS n_removed,
+           CAST(CASE WHEN NOT (contains(lower(t), 'lorem ipsum')
+                               OR contains(t, chr(123)))
+                          AND len(kept) >= 2
+                     THEN 1 ELSE 0 END AS INT) AS page_kept
+    FROM f
+    """,
+)
+def text_c4_filter(spark, sf_dir):
+    """C4-style line filtering (Raffel et al. 2020) chained onto the
+    extraction pipeline end-to-end: extract -> keep lines with terminal
+    punctuation, >= 5 words, and no banned word -> ordered reconstruct +
+    a page-level keep flag ('lorem ipsum' / '{' markers, min kept
+    lines).  The operator itself is a zero-shuffle Catalyst projection
+    (functions/text.c4_line_filter).  Fixture knobs for non-vacuity on
+    the synthetic corpus: banned word 'customer' (varies per document),
+    min_kept_lines=2 (so a banned-word hit also flips page_kept)."""
+    from page_segmentation_spark.packaging import ship_package
+    from page_segmentation_spark.plans.extract import extract
+
+    ship_package(spark)
+    out = extract(pages_from_documents(spark, sf_dir))
+    return T.c4_line_filter(
+        out,
+        "url",
+        "extracted_text",
+        min_words=5,
+        banned_words=("customer",),
+        page_banned=("lorem ipsum", "{"),
+        min_kept_lines=2,
+    )
+
+
 @_q(
     "extract_fused_flagship",
     f"""

@@ -728,3 +728,60 @@ def test_url_host_extraction(spark):
         "www.example.test", "sub.host.org", "www.bare.test",
         "files.example.org",
     ]
+
+
+def test_c4_line_filter_rules(spark):
+    """Each C4 rule class fires independently: terminal punctuation,
+    minimum word count, banned word, page-level markers, and the
+    ordered reconstruct."""
+    from page_segmentation_spark.functions.text import c4_line_filter
+
+    docs = [
+        # keeps both long punctuated lines, drops title + short line
+        (0, "Title line\nthe quick brown fox jumps over it.\nshort one.\n"
+            "a second good line with plenty of words here!"),
+        # banned word drops an otherwise-good line
+        (1, "this line mentions JavaScript embedded somewhere in prose.\n"
+            "a perfectly fine line with enough words here."),
+        # page marker: '{' rejects the page even with good lines
+        (2, "function() { return 1; }\n"
+            "one good line with enough words to pass muster.\n"
+            "another good line with enough words to pass muster."),
+        # lorem ipsum marker, case-insensitive
+        (3, "Lorem Ipsum dolor sit amet something something here.\n"
+            "another good line with enough words to pass muster."),
+        # too few kept lines -> page dropped
+        (4, "only one good line with enough words to pass muster."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in c4_line_filter(
+            df, "doc_id", "text", min_words=5,
+            banned_words=("javascript",), min_kept_lines=2,
+        ).collect()
+    }
+    assert out[0]["n_kept"] == 2 and out[0]["page_kept"] == 1
+    assert out[0]["clean_text"] == (
+        "the quick brown fox jumps over it.\n"
+        "a second good line with plenty of words here!"
+    )
+    assert out[1]["n_kept"] == 1 and out[1]["page_kept"] == 0
+    assert "JavaScript" not in out[1]["clean_text"]
+    assert out[2]["page_kept"] == 0 and out[2]["n_kept"] == 2
+    assert out[3]["page_kept"] == 0
+    assert out[4]["n_kept"] == 1 and out[4]["page_kept"] == 0
+
+
+def test_c4_line_filter_is_zero_shuffle(spark):
+    """The standalone operator must plan as a pure projection: no
+    Exchange, no Python eval — it composes into any pipeline for free."""
+    from page_segmentation_spark.functions.text import c4_line_filter
+
+    df = spark.createDataFrame([(0, "x.")], "doc_id long, text string")
+    plan = (
+        c4_line_filter(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
