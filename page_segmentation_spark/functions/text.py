@@ -329,6 +329,112 @@ def c4_keep_line(
     return keep
 
 
+#: Gopher document-filter stop words (Rae et al. 2021, Appendix A1.1 —
+#: "contains at least 2 of the following stop words").
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.1,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+):
+    """Gopher document-level quality rules (Rae et al. 2021, Appendix
+    A1.1 — the MassiveWeb filter reused by RefinedWeb/FineWeb/Dolma):
+
+      * word count in [min_words, max_words];
+      * mean word length in [min_mean_word_len, max_mean_word_len];
+      * symbol-to-word ratio (``#`` and ``...`` marks) <= max_symbol_ratio;
+      * fraction of lines starting with a bullet <= max_bullet_frac
+        (the paper's ">= 90% of lines do not start with a bullet");
+      * fraction of lines ending with an ellipsis <= max_ellipsis_frac;
+      * fraction of words containing an alphabetic char >= min_alpha_frac;
+      * at least ``min_stop_hits`` distinct Gopher stop words present.
+
+    Output: (id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+    ellipsis_frac, alpha_frac, n_stop_hits, keep int) — signal columns
+    rounded to 6 for display, ``keep`` decided on UNROUNDED values
+    (mirroring the oracle twin, same discipline as the dedup thresholds).
+
+    Scale shape: a pure per-row projection (split / filter / size /
+    regexp are Catalyst array expressions) — zero shuffle, whole-stage
+    codegen, embarrassingly parallel at any corpus size; the corpus-wide
+    repetition rules of the same paper live in
+    :func:`repetition_signals` (those need aggregation, these do not)."""
+    text = F.col(text_col)
+    blank = F.length(F.trim(text)) == 0
+    words = F.split(F.trim(text), r"\s+")
+    n_words = F.when(blank, F.lit(0)).otherwise(F.size(words)).cast("long")
+    non_ws = F.length(F.regexp_replace(text, r"\s+", "")).cast("double")
+    mean_wl = F.when(
+        n_words > 0, non_ws / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_symbols = (
+        F.size(F.regexp_extract_all(text, F.lit(r"#"), 0))
+        + F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), 0))
+    ).cast("long")
+    symbol_ratio = F.when(
+        n_words > 0, n_symbols.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("double")  # >= 1 for non-null text
+    is_bullet = lambda l: (  # noqa: E731 — shared by filter + twin
+        F.ltrim(l).startswith("•")
+        | F.ltrim(l).startswith("- ")
+        | F.ltrim(l).startswith("* ")
+    )
+    bullet_frac = F.size(F.filter(lines, is_bullet)).cast("double") / n_lines
+    ends_ellipsis = lambda l: (  # noqa: E731
+        F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…")
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, ends_ellipsis)).cast("double") / n_lines
+    )
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("double")
+    alpha_frac = F.when(
+        n_words > 0, n_alpha_words / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    stop_hits = F.lit(0)
+    for w in GOPHER_STOPWORDS:
+        stop_hits = stop_hits + F.when(
+            padded.contains(f" {w} "), F.lit(1)
+        ).otherwise(F.lit(0))
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+        & (symbol_ratio <= max_symbol_ratio)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_frac"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        stop_hits.cast("long").alias("n_stop_hits"),
+        keep.cast("int").alias("keep"),
+    )
+
+
 def c4_line_filter(
     df,
     id_col: str,

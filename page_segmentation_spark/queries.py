@@ -1656,6 +1656,114 @@ def text_c4_filter(spark, sf_dir):
     )
 
 
+#: deterministic per-rule augmentation of the documents fixture so every
+#: Gopher rule class is non-vacuous on the synthetic corpus (base texts
+#: have no newlines/symbols/numerals and only 'the' among stop words) —
+#: mirrored literally between the Spark query and the SQL twin.
+_GOPHER_AUG = (
+    (4, "\n• first bullet item\n• second bullet item"),
+    (5, "\nthis thought trails off unfinished..."),
+    (6, " ## ## ## ## ## ## ## ## ## ## ## ##"),
+    (7, " 101 202 303 404 505 606 707 808 909 111 222 333"),
+    (2, " we speak of and with them here."),
+    # 120 one-char words push mean word length below the 3.0 floor
+    (9, " " + " ".join(["a"] * 120)),
+)
+
+
+def _gopher_aug_sql() -> str:
+    parts = ["text"]
+    for mod, s in _GOPHER_AUG:
+        lit = s.replace("\n", "' || chr(10) || '")
+        parts.append(
+            f"CASE WHEN doc_id % {mod} = 0 THEN '{lit}' ELSE '' END"
+        )
+    return " || ".join(parts)
+
+
+_GOPHER_STOP_SQL = " + ".join(
+    f"CASE WHEN contains(' ' || lower(t) || ' ', ' {w} ') THEN 1 ELSE 0 END"
+    for w in T.GOPHER_STOPWORDS
+)
+
+@_q(
+    "text_gopher_quality",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, {_gopher_aug_sql()} AS t FROM documents
+    ), s AS (
+      SELECT doc_id, t,
+        CASE WHEN length(trim(t)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(t), '\\s+')) END AS n_words,
+        CAST(length(regexp_replace(t, '\\s+', '', 'g')) AS DOUBLE) AS non_ws,
+        len(regexp_extract_all(t, '#'))
+          + len(regexp_extract_all(t, '\\.\\.\\.')) AS n_symbols,
+        string_split(t, chr(10)) AS lines,
+        string_split_regex(trim(t), '\\s+') AS words
+      FROM aug
+    ), g AS (
+      SELECT doc_id, n_words,
+        CASE WHEN n_words > 0 THEN non_ws / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END AS mean_wl,
+        CASE WHEN n_words > 0
+             THEN CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END AS symbol_ratio,
+        CAST(len(list_filter(lines, l ->
+               starts_with(ltrim(l), '•')
+               OR starts_with(ltrim(l), '- ')
+               OR starts_with(ltrim(l), '* '))) AS DOUBLE)
+          / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+        CAST(len(list_filter(lines, l ->
+               ends_with(rtrim(l), '...')
+               OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+          / CAST(len(lines) AS DOUBLE) AS ellipsis_frac,
+        CASE WHEN n_words > 0
+             THEN CAST(len(list_filter(words,
+                    w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                  / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END AS alpha_frac,
+        {_GOPHER_STOP_SQL} AS n_stop_hits
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(mean_wl, 6) AS mean_word_len,
+           round(symbol_ratio, 6) AS symbol_ratio,
+           round(bullet_frac, 6) AS bullet_frac,
+           round(ellipsis_frac, 6) AS ellipsis_frac,
+           round(alpha_frac, 6) AS alpha_frac,
+           CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+           CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                      AND mean_wl >= 3.0 AND mean_wl <= 10.0
+                      AND symbol_ratio <= 0.1
+                      AND bullet_frac <= 0.1
+                      AND ellipsis_frac <= 0.3
+                      AND alpha_frac >= 0.8
+                      AND n_stop_hits >= 2
+                 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM g
+    """,
+)
+def text_gopher_quality(spark, sf_dir):
+    """Gopher document-level quality rules (Rae et al. 2021) over the
+    documents fixture, each rule class made non-vacuous by deterministic
+    per-doc_id augmentation (_GOPHER_AUG, mirrored in the twin): bullet
+    lines every 4th doc, trailing-ellipsis line every 5th, hash symbols
+    every 6th, numeric words every 7th, extra stop words every 2nd.
+    The operator (functions/text.gopher_quality) is a zero-shuffle
+    Catalyst projection; keep decided on unrounded values both sides."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    for mod, s in _GOPHER_AUG:
+        t = F.concat(
+            t,
+            F.when(F.col("doc_id") % mod == 0, F.lit(s)).otherwise(F.lit("")),
+        )
+    return T.gopher_quality(
+        d.select("doc_id", t.alias("text")), "doc_id", "text"
+    )
+
+
 @_q(
     "extract_fused_flagship",
     f"""

@@ -785,3 +785,54 @@ def test_c4_line_filter_is_zero_shuffle(spark):
     )
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_gopher_quality_rules(spark):
+    """Each Gopher rule class (Rae et al. 2021 A1.1) flips keep
+    independently; a clean document passes all of them."""
+    from page_segmentation_spark.functions.text import gopher_quality
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "rests with a calm heart that beats slowly ") * 3  # 57 words
+    docs = [
+        (0, good),                              # passes everything
+        (1, "short text with the and of."),     # < min_words
+        (2, good + " " + " ".join(["a"] * 200)),   # mean word len < 3
+        (3, good + " " + "## " * 10),           # symbol ratio > 0.1
+        (4, good + "\n• one\n• two\n• three"),  # bullet lines > 0.1
+        (5, good + "\ntrails..."),              # ellipsis lines > 0.3
+        (6, good + " " + " ".join(str(n) for n in range(100, 120))),
+        (7, "walk run sit stand move rest stop go come stay " * 6),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id", "text",
+        ).collect()
+    }
+    assert out[0]["keep"] == 1
+    assert out[1]["keep"] == 0 and out[1]["n_words"] < 50
+    assert out[2]["keep"] == 0 and out[2]["mean_word_len"] < 3.0
+    assert out[3]["keep"] == 0 and out[3]["symbol_ratio"] > 0.1
+    assert out[4]["keep"] == 0 and out[4]["bullet_frac"] > 0.1
+    assert out[5]["keep"] == 0 and out[5]["ellipsis_frac"] > 0.3
+    # 20 numeric words over 77 total: alpha fraction below 0.8
+    assert out[6]["keep"] == 0 and out[6]["alpha_frac"] < 0.8
+    # 60 words but zero Gopher stop words
+    assert out[7]["keep"] == 0 and out[7]["n_stop_hits"] < 2
+
+
+def test_gopher_quality_is_zero_shuffle(spark):
+    """Doc-level Gopher rules must plan as a pure projection (the
+    corpus-wide repetition rules live elsewhere): no Exchange, no
+    Python eval."""
+    from page_segmentation_spark.functions.text import gopher_quality
+
+    df = spark.createDataFrame([(0, "x.")], "doc_id long, text string")
+    plan = (
+        gopher_quality(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
