@@ -347,6 +347,7 @@ def gopher_quality(
     max_ellipsis_frac: float = 0.3,
     min_alpha_frac: float = 0.8,
     min_stop_hits: int = 2,
+    extra_cols: tuple = (),
 ):
     """Gopher document-level quality rules (Rae et al. 2021, Appendix
     A1.1 — the MassiveWeb filter reused by RefinedWeb/FineWeb/Dolma):
@@ -424,6 +425,7 @@ def gopher_quality(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         n_words.alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),
         F.round(symbol_ratio, 6).alias("symbol_ratio"),

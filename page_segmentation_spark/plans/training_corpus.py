@@ -1,0 +1,81 @@
+"""End-to-end training-corpus construction — the composed pipeline.
+
+The C4/RefinedWeb/FineWeb recipe as ONE declarative Spark plan over
+crawl pages of the input-hint shape (url, warc_ts, html, text, lang):
+
+    extract (main-content, byte-identical to the oracle)
+      -> C4 line filtering        (functions/text.c4_line_filter)
+      -> Gopher document rules    (functions/text.gopher_quality)
+      -> language ID / token count / content fingerprint
+      -> exact dedup (keep min-url per fingerprint)
+
+Scale shape at 10^12 documents: the extraction stage contributes its
+single url-keyed Exchange (or zero with the fused plan); C4, Gopher,
+language ID, token counting, and fingerprinting are all zero-shuffle
+Catalyst projections fused into the same stage; the only additional
+shuffle in the whole corpus build is the dedup hash partition on the
+16-hex-char fingerprint (narrow rows: fingerprints + urls).  Every
+filter drops rows BEFORE the dedup shuffle, so the expensive exchange
+sees only surviving documents.
+
+Determinism: gate decisions are made on unrounded values; the dedup
+keeps the lexicographic-min url per fingerprint (same total order in
+Spark and ANSI SQL); no first()/rand() anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from page_segmentation_spark.functions.text import (
+    c4_line_filter,
+    fingerprint,
+    gopher_quality,
+    lang_id,
+    token_count,
+)
+from page_segmentation_spark.plans.extract import extract
+
+
+def build_training_corpus(
+    pages: DataFrame,
+    c4_opts: dict | None = None,
+    gopher_opts: dict | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """Run the full corpus-construction funnel over crawl pages.
+
+    Returns one row per SURVIVING document:
+    (url, lang, n_tokens, content_fp, clean_text).
+
+    ``c4_opts`` / ``gopher_opts`` are keyword overrides for the two
+    filter stages (see their docstrings for rule parameters); pass
+    ``dedup=False`` to keep exact duplicates (e.g. when a later
+    MinHash/SimHash pass owns dedup)."""
+    ext = extract(pages)
+    c4 = c4_line_filter(ext, "url", "extracted_text", **(c4_opts or {}))
+    page_kept = c4.where(F.col("page_kept") == 1)
+    g = gopher_quality(
+        page_kept,
+        "url",
+        "clean_text",
+        extra_cols=("clean_text",),
+        **(gopher_opts or {}),
+    )
+    survivors = g.where(F.col("keep") == 1).select("url", "clean_text")
+    out = survivors.select(
+        "url",
+        lang_id(F.col("clean_text")).alias("lang"),
+        token_count(F.col("clean_text")).alias("n_tokens"),
+        fingerprint(F.col("clean_text")).alias("content_fp"),
+        "clean_text",
+    )
+    if dedup:
+        w = Window.partitionBy("content_fp")
+        out = (
+            out.withColumn("keep_url", F.min("url").over(w))
+            .where(F.col("url") == F.col("keep_url"))
+            .drop("keep_url")
+        )
+    return out

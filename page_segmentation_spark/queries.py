@@ -1764,6 +1764,173 @@ def text_gopher_quality(spark, sf_dir):
     )
 
 
+def _gopher_ct_sql(min_words: int) -> str:
+    """Gopher rule CTEs over a (url, ct) relation named ``page`` —
+    mirrors functions/text.gopher_quality on the clean text, unrounded
+    keep decisions (twin of the pipeline's second gate)."""
+    stop_sql = " + ".join(
+        f"CASE WHEN contains(' ' || lower(ct) || ' ', ' {w} ') "
+        "THEN 1 ELSE 0 END"
+        for w in T.GOPHER_STOPWORDS
+    )
+    return f"""
+    s AS (
+      SELECT url, ct,
+        CASE WHEN length(trim(ct)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(ct), '\\s+')) END AS n_words,
+        CAST(length(regexp_replace(ct, '\\s+', '', 'g')) AS DOUBLE) AS non_ws,
+        len(regexp_extract_all(ct, '#'))
+          + len(regexp_extract_all(ct, '\\.\\.\\.')) AS n_symbols,
+        string_split(ct, chr(10)) AS lines,
+        string_split_regex(trim(ct), '\\s+') AS words,
+        {stop_sql} AS n_stop_hits
+      FROM page
+    ), g AS (
+      SELECT url, ct, n_words, n_stop_hits,
+        CASE WHEN n_words > 0 THEN non_ws / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END AS mean_wl,
+        CASE WHEN n_words > 0
+             THEN CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END AS symbol_ratio,
+        CAST(len(list_filter(lines, l ->
+               starts_with(ltrim(l), '•')
+               OR starts_with(ltrim(l), '- ')
+               OR starts_with(ltrim(l), '* '))) AS DOUBLE)
+          / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+        CAST(len(list_filter(lines, l ->
+               ends_with(rtrim(l), '...')
+               OR ends_with(rtrim(l), '…'))) AS DOUBLE)
+          / CAST(len(lines) AS DOUBLE) AS ellipsis_frac,
+        CASE WHEN n_words > 0
+             THEN CAST(len(list_filter(words,
+                    w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                  / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END AS alpha_frac
+      FROM s
+    ), keepers AS (
+      SELECT url, ct FROM g
+      WHERE n_words >= {min_words} AND n_words <= 100000
+        AND mean_wl >= 3.0 AND mean_wl <= 10.0
+        AND symbol_ratio <= 0.1 AND bullet_frac <= 0.1
+        AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        AND n_stop_hits >= 2
+    )"""
+
+
+#: duplicate-injection modulus for the pipeline fixture: 500 documents
+#: fold onto 375 distinct texts, so 125 post-filter exact duplicates
+#: exercise the dedup stage (mirrored in the SQL twin's self-join).
+_PIPE_MOD = 375
+
+
+def pipeline_pages(spark, sf_dir, mod: int = _PIPE_MOD) -> DataFrame:
+    """pages_from_documents with deliberately injected exact duplicates:
+    document i carries the TEXT of document ``i % mod`` (the title keeps
+    the original id, so duplicates only become exact after C4 drops the
+    short title line — the realistic mirror-site shape)."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.select(F.col("doc_id").alias("bid"), F.col("text").alias("btext"))
+    j = d.select("doc_id").join(
+        F.broadcast(b), F.col("doc_id") % mod == F.col("bid")
+    )
+    html = F.concat(
+        F.lit(
+            "<!DOCTYPE html><html><head><title>t</title>"
+            "<script>x()</script></head><body>"
+            "<article><h1>Document "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("btext"),
+        F.lit(" " + PAD + "</p><p>"),
+        F.reverse(F.col("btext")),
+        F.lit(" " + PAD),
+        F.lit(
+            "</p></article>"
+            '<nav><ul><li><a href="/">Home</a></li>'
+            '<li><a href="/about">About us</a></li>'
+            '<li><a href="/contact">Contact</a></li></ul></nav></body></html>'
+        ),
+    )
+    return j.select(
+        F.concat(F.lit("https://testdata/doc/"), F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("btext").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
+@_q(
+    "pipeline_training_corpus",
+    f"""
+    WITH base AS (
+      SELECT d.doc_id AS doc_id, b.text AS btext
+      FROM documents d JOIN documents b ON b.doc_id = d.doc_id % {_PIPE_MOD}
+    ), ext AS (
+      SELECT 'https://testdata/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             'Document ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+               || btext || ' {_PAD_SQL}' || chr(10) || chr(10)
+               || reverse(btext) || ' {_PAD_SQL}' AS t
+      FROM base
+    ), c4 AS (
+      SELECT url, t,
+             list_filter(string_split(t, chr(10)),
+                         x -> {_c4_keep_sql('x', 5, 'customer')}) AS kept
+      FROM ext
+    ), page AS (
+      SELECT url, array_to_string(kept, chr(10)) AS ct
+      FROM c4
+      WHERE NOT (contains(lower(t), 'lorem ipsum') OR contains(t, chr(123)))
+        AND len(kept) >= 2
+    ), {_gopher_ct_sql(100)}, scored AS (
+      SELECT url, ct,
+        CASE WHEN length(trim(ct)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(ct), '\\s+')) END AS n_tokens,
+        substr(md5(regexp_replace(lower(trim(ct)), '\\s+', ' ', 'g')), 1, 16)
+          AS content_fp,
+        {T.lang_score_sql('ct', 'en')} AS s_en,
+        {T.lang_score_sql('ct', 'de')} AS s_de,
+        {T.lang_score_sql('ct', 'fr')} AS s_fr,
+        {T.lang_score_sql('ct', 'es')} AS s_es
+      FROM keepers
+    )
+    SELECT url,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0.0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           content_fp,
+           ct AS clean_text
+    FROM (SELECT *, min(url) OVER (PARTITION BY content_fp) AS keep_url
+          FROM scored)
+    WHERE url = keep_url
+    """,
+)
+def pipeline_training_corpus(spark, sf_dir):
+    """The COMPOSED corpus-construction funnel end-to-end in one plan
+    (plans/training_corpus.build_training_corpus): extraction -> C4 line
+    filter (banned word 'customer' drops a line, pushing those pages
+    under min_kept_lines) -> Gopher rules (min_words=100 drops short
+    documents) -> language ID + token count + fingerprint -> exact
+    dedup (fixture folds 500 docs onto {_PIPE_MOD} texts; duplicates
+    emerge only after the C4 stage drops the id-bearing title line).
+    Oracle mirrors every gate on unrounded values."""
+    from page_segmentation_spark.packaging import ship_package
+    from page_segmentation_spark.plans.training_corpus import (
+        build_training_corpus,
+    )
+
+    ship_package(spark)
+    return build_training_corpus(
+        pipeline_pages(spark, sf_dir),
+        c4_opts=dict(banned_words=("customer",), min_kept_lines=2),
+        gopher_opts=dict(min_words=100),
+    )
+
+
 @_q(
     "extract_fused_flagship",
     f"""

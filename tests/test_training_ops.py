@@ -836,3 +836,70 @@ def test_gopher_quality_is_zero_shuffle(spark):
     )
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def _pipe_page(url, title, paras):
+    html = (
+        "<!DOCTYPE html><html><head><title>t</title></head><body>"
+        f"<article><h1>{title}</h1>"
+        + "".join(f"<p>{p}</p>" for p in paras)
+        + "</article>"
+        '<nav><ul><li><a href="/">Home</a></li>'
+        '<li><a href="/about">About us</a></li>'
+        '<li><a href="/c">Contact</a></li></ul></nav></body></html>'
+    )
+    return (url, None, html.encode(), None, None)
+
+
+def test_build_training_corpus_funnel(spark):
+    """The composed pipeline: C4 drops the title + short pages, Gopher
+    drops low-alpha pages, dedup keeps the min url of an exact pair."""
+    from page_segmentation_spark.plans.training_corpus import (
+        build_training_corpus,
+    )
+
+    body = [
+        "the quick brown fox jumps over the lazy dog and then rests "
+        "with a calm heart near the river bank every day.",
+        "a second paragraph of plain prose keeps the word count up "
+        "and gives the filter something real to keep.",
+        "the third paragraph closes out this little document with "
+        "enough words that every rule passes today.",
+    ]
+    numeric = [" ".join(str(n) for n in range(100, 160)) + " ok."] * 3
+    pages = spark.createDataFrame(
+        [
+            _pipe_page("https://t/a", "One", body),
+            _pipe_page("https://t/b", "Two", body),   # dup after C4
+            _pipe_page("https://t/c", "Tiny", ["hi."]),  # < min kept lines
+            _pipe_page("https://t/d", "Nums", numeric),  # alpha frac fails
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = build_training_corpus(pages).collect()
+    assert [r["url"] for r in out] == ["https://t/a"]
+    assert out[0]["lang"] == "en"
+    assert out[0]["n_tokens"] >= 50
+    assert "\n" in out[0]["clean_text"]
+
+
+def test_build_training_corpus_plan_shape(spark):
+    """Whole funnel = extraction's one url Exchange + ONE dedup Exchange
+    on the fingerprint; C4/Gopher/langid/fingerprint stages add no
+    shuffle and no Python eval beyond the parse kernel."""
+    import re
+
+    from page_segmentation_spark.plans.training_corpus import (
+        build_training_corpus,
+    )
+
+    pages = spark.createDataFrame(
+        [_pipe_page("https://t/a", "One", ["hello there world today."])],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    plan = (
+        build_training_corpus(pages)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    assert "BatchEvalPython" not in plan, plan
