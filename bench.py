@@ -188,6 +188,19 @@ def main() -> None:
     timings["extract_pdf"] = timed_median(
         lambda: extract(pdf_pages_from_documents(spark, SF_DIR))
     )
+    # the COMPOSED corpus-construction funnel (extract -> C4 -> Gopher ->
+    # langid/tokens/fingerprint -> exact dedup) over the same synthetic
+    # corpus, fused extraction: one Exchange total (the dedup key)
+    from page_segmentation_spark.plans.training_corpus import (
+        build_training_corpus,
+    )
+
+    timings["corpus_build_fused"] = timed_median(
+        lambda: build_training_corpus(pages, fused=True)
+    )
+    extras["corpus_build_docs_per_sec"] = round(
+        n_pages / timings["corpus_build_fused"], 1
+    )
     for name in (
         "dedup_minhash_lsh",
         "dedup_paragraphs",

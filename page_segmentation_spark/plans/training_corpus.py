@@ -43,6 +43,7 @@ def build_training_corpus(
     c4_opts: dict | None = None,
     gopher_opts: dict | None = None,
     dedup: bool = True,
+    fused: bool = False,
 ) -> DataFrame:
     """Run the full corpus-construction funnel over crawl pages.
 
@@ -52,8 +53,16 @@ def build_training_corpus(
     ``c4_opts`` / ``gopher_opts`` are keyword overrides for the two
     filter stages (see their docstrings for rule parameters); pass
     ``dedup=False`` to keep exact duplicates (e.g. when a later
-    MinHash/SimHash pass owns dedup)."""
-    ext = extract(pages)
+    MinHash/SimHash pass owns dedup).  ``fused=True`` swaps in the
+    zero-shuffle fused extraction plan (plans/extract_fused —
+    byte-identical output), leaving the dedup fingerprint partition as
+    the funnel's ONLY Exchange — the 1000-executor crawl shape."""
+    if fused:
+        from page_segmentation_spark.plans.extract_fused import extract_fused
+
+        ext = extract_fused(pages)
+    else:
+        ext = extract(pages)
     c4 = c4_line_filter(ext, "url", "extracted_text", **(c4_opts or {}))
     page_kept = c4.where(F.col("page_kept") == 1)
     g = gopher_quality(

@@ -903,3 +903,37 @@ def test_build_training_corpus_plan_shape(spark):
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_build_training_corpus_fused_identity_and_plan(spark):
+    """fused=True must produce identical rows with the dedup fingerprint
+    partition as the ONLY Exchange in the whole funnel."""
+    import re
+
+    from page_segmentation_spark.plans.training_corpus import (
+        build_training_corpus,
+    )
+
+    body = [
+        "the quick brown fox jumps over the lazy dog and then rests "
+        "with a calm heart near the river bank every day.",
+        "a second paragraph of plain prose keeps the word count up "
+        "and gives the filter something real to keep.",
+        "the third paragraph closes out this little document with "
+        "enough words that every rule passes today.",
+    ]
+    pages = spark.createDataFrame(
+        [
+            _pipe_page("https://t/a", "One", body),
+            _pipe_page("https://t/b", "Two", body),
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    fused_df = build_training_corpus(pages, fused=True)
+    # plan BEFORE execution (post-collect AQE strings repeat the
+    # exchange in their Initial Plan section)
+    plan = fused_df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    decl = {tuple(r) for r in build_training_corpus(pages).collect()}
+    assert {tuple(r) for r in fused_df.collect()} == decl
