@@ -17,9 +17,11 @@ samples and their median.
 
 Usage: python tools/bench_scaling_interleaved.py [sf_dir] [N] [4N] [pages] [job] [rounds]
 ``job``: "extract" (default, full pipeline), "fused" (the
-zero-shuffle single-stage plan), or "parse" (the Python
+zero-shuffle single-stage plan), "parse" (the Python
 mapInArrow stage alone) — comparing the two attributes multi-core
-contention between the CPython parse kernel and the JVM agg stages.
+contention between the CPython parse kernel and the JVM agg stages —
+or "corpus" (the full fused corpus-construction funnel:
+extract -> C4 -> Gopher -> langid/fingerprint -> exact dedup).
 """
 
 from __future__ import annotations
@@ -50,10 +52,12 @@ n = pages.count()
 # parse = the Python (mapInArrow) stage alone, no shuffle/agg after it —
 # used to attribute multi-core contention between the CPython parse
 # kernel and the JVM window/agg stages
+from page_segmentation_spark.plans.training_corpus import build_training_corpus
 JOBS = {{
     "extract": lambda: extract(pages),
     "fused": lambda: extract_fused(pages),
     "parse": lambda: parse_pages(pages),
+    "corpus": lambda: build_training_corpus(pages, fused=True),
 }}
 build = JOBS[job]
 print(f"READY {{n}}", flush=True)
