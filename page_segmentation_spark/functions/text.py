@@ -53,6 +53,62 @@ def lang_id(text: Column) -> Column:
     return F.when(best > 0.0, best_lang).otherwise(F.lit("und"))
 
 
+def with_lang_id(df, text_col: str, out_col: str = "lang"):
+    """DataFrame-level language ID — identical semantics (and identical
+    values, verified) to ``lang_id(col)`` but 5-7x faster on real
+    corpora (78.6s -> 11-15s on 85k extracted documents, local[16]).
+
+    Why: the single-Column form inlines the padded lowered text into
+    every one of the 20 marker counts (each count references it twice),
+    and the resulting expression tree is large enough that codegen's
+    common-subexpression elimination stops saving it — lower() runs up
+    to 40x per row.  This form stages three projections: (1) pad+lower
+    ONCE as a real column (referenced-many alias, so CollapseProject
+    keeps the barrier), (2) twenty small per-marker counts, (3) the
+    score sums and the first-max argmax.  Each stage codegens cleanly.
+    Use this in pipelines; ``lang_id`` remains for ad-hoc column use."""
+    cols = [F.col(c) for c in df.columns]
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    step1 = df.select(*cols, padded.alias("__pss_padded"))
+    mcols = []
+    for lg, words in LANG_MARKERS.items():
+        for w in words:
+            needle = f" {w} "
+            mcols.append(
+                (
+                    (
+                        F.length(F.col("__pss_padded"))
+                        - F.length(
+                            F.replace(
+                                F.col("__pss_padded"),
+                                F.lit(needle),
+                                F.lit(""),
+                            )
+                        )
+                    )
+                    / F.lit(len(needle))
+                ).alias(f"__pss_mc_{lg}_{w}")
+            )
+    step2 = step1.select(*cols, *mcols)
+    langs = list(LANG_MARKERS)
+    scores = {}
+    for lg in langs:
+        s = F.lit(0.0)
+        for w in LANG_MARKERS[lg]:
+            s = s + F.col(f"__pss_mc_{lg}_{w}")
+        scores[lg] = s
+    best = scores[langs[0]]
+    best_lang = F.lit(langs[0])
+    for lg in langs[1:]:
+        is_better = scores[lg] > best
+        best_lang = F.when(is_better, F.lit(lg)).otherwise(best_lang)
+        best = F.when(is_better, scores[lg]).otherwise(best)
+    return step2.select(
+        *cols,
+        F.when(best > 0.0, best_lang).otherwise(F.lit("und")).alias(out_col),
+    )
+
+
 def token_count(text: Column) -> Column:
     """Whitespace tokenization; 0 for empty/blank text."""
     trimmed = F.trim(text)
@@ -283,6 +339,72 @@ def vocab_coverage(
     )
 
 
+def surprisal_buckets(df, id_col: str, text_col: str):
+    """CCNet-style rarity scoring + head/middle/tail bucketing (Wenzek
+    et al. 2020 §4.4 filter corpora by LM perplexity terciles; this is
+    the engine-portable analog with an integer-exact score instead of a
+    KenLM model): a document's surprisal is the mean over its tokens of
+    ``N_total // corpus_count(token)`` — common-word documents score
+    low (head), rare-word documents high (tail).
+
+    The integer floor-division inside the sum is WHY the score is
+    engine-reproducible: per-token contributions are exact integers, the
+    per-doc sum is an order-independent integer aggregate, and the only
+    double is one final division (same discipline as the quantized
+    k-means mirror).
+
+    Output: (id, surprisal, bucket) with terciles split by global
+    nearest-rank (ties broken on id — first-max determinism rule).
+
+    Scale shape at 10^12 docs: token explode is linear; corpus counts
+    are one map-side-combined hash agg; the count join is the standard
+    inverted-index equi-join keyed by token (hot stopword keys arrive
+    pre-combined); the per-doc sum is one id-keyed agg.  The global
+    tercile rank is a single-partition window over ONE ROW PER DOCUMENT
+    of (double, id) — the oracle-checkable exact form; at corpus scale
+    swap the cutoffs for sampled quantiles and keep the scoring stages
+    unchanged."""
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    toks = df.where(F.length(F.trim(text)) > 0).select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(text)), r"\s+")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.expr("n_total DIV cnt")).alias("s_int"),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+    )
+    sc = scored.select(
+        F.col(id_col),
+        (F.col("s_int").cast("double") / F.col("n_toks").cast("double")).alias(
+            "surprisal"
+        ),
+    )
+    w = Window.orderBy("surprisal", id_col)
+    ranked = sc.select(
+        F.col(id_col),
+        "surprisal",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    bucket = (
+        F.when(F.col("r") * 3 <= F.col("m"), "head")
+        .when(F.col("r") * 3 <= 2 * F.col("m"), "middle")
+        .otherwise("tail")
+    )
+    return ranked.select(
+        id_col, F.round("surprisal", 6).alias("surprisal"), bucket.alias("bucket")
+    )
+
+
 # ---- DuckDB-SQL twins (used by __spark_entry__.oracle_sql) -------------
 
 def marker_count_sql(col: str, word: str) -> str:
@@ -400,6 +522,14 @@ def gopher_quality(
     ellipsis_frac = (
         F.size(F.filter(lines, ends_ellipsis)).cast("double") / n_lines
     )
+    # Formulation chosen by measurement (120k pages, local[16], per
+    # signal over a materialized input): the HOF filter+rlike costs
+    # 6.4s — dwarfed by the unavoidable n_words split (17.2s).  Two
+    # plausible "optimizations" are catastrophically WORSE and must not
+    # come back: a whole-text match regex `[^\s]*[A-Za-z][^\s]*`
+    # backtracks O(k^3) on letterless runs, and a char-deletion
+    # regexp_replace('[^A-Za-z\\s]','') costs 280s (Java per-match
+    # append on ~1 match per character).
     n_alpha_words = F.size(
         F.filter(words, lambda w: w.rlike("[A-Za-z]"))
     ).cast("double")

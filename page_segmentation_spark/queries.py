@@ -1764,6 +1764,49 @@ def text_gopher_quality(spark, sf_dir):
     )
 
 
+@_q(
+    "text_surprisal_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), counts AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ), total AS (
+      SELECT sum(cnt) AS n_total FROM counts
+    ), scored AS (
+      SELECT doc_id,
+             sum(n_total // cnt) AS s_int,
+             count(*) AS n_toks
+      FROM toks JOIN counts USING (tok) CROSS JOIN total
+      GROUP BY doc_id
+    ), sc AS (
+      SELECT doc_id,
+             CAST(s_int AS DOUBLE) / CAST(n_toks AS DOUBLE) AS surprisal
+      FROM scored
+    ), ranked AS (
+      SELECT doc_id, surprisal,
+             row_number() OVER (ORDER BY surprisal, doc_id) AS r,
+             count(*) OVER () AS m
+      FROM sc
+    )
+    SELECT doc_id, round(surprisal, 6) AS surprisal,
+           CASE WHEN r * 3 <= m THEN 'head'
+                WHEN r * 3 <= 2 * m THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+)
+def text_surprisal_buckets(spark, sf_dir):
+    """CCNet-style rarity score (integer-exact inverse-frequency mean)
+    with head/middle/tail tercile bucketing — see
+    functions/text.surprisal_buckets for why the floor-division makes
+    the score engine-reproducible."""
+    d = _t(spark, sf_dir, "documents")
+    return T.surprisal_buckets(d, "doc_id", "text")
+
+
 def _gopher_ct_sql(min_words: int) -> str:
     """Gopher rule CTEs over a (url, ct) relation named ``page`` —
     mirrors functions/text.gopher_quality on the clean text, unrounded

@@ -937,3 +937,23 @@ def test_build_training_corpus_fused_identity_and_plan(spark):
     assert "BatchEvalPython" not in plan, plan
     decl = {tuple(r) for r in build_training_corpus(pages).collect()}
     assert {tuple(r) for r in fused_df.collect()} == decl
+
+
+def test_surprisal_buckets_exact(spark):
+    """Integer-exact inverse-frequency surprisal: hand-computed floor
+    sums, tercile bucketing with id tie-break."""
+    from page_segmentation_spark.functions.text import surprisal_buckets
+
+    docs = [(0, "a a a b"), (1, "a c")]
+    # corpus: a=4, b=1, c=1, N=6
+    # doc0: 3*(6//4) + 6//1 = 9 over 4 toks -> 2.25
+    # doc1: 6//4 + 6//1 = 7 over 2 toks -> 3.5
+    out = {
+        r["doc_id"]: r
+        for r in surprisal_buckets(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id", "text",
+        ).collect()
+    }
+    assert out[0]["surprisal"] == 2.25 and out[0]["bucket"] == "middle"
+    assert out[1]["surprisal"] == 3.5 and out[1]["bucket"] == "tail"
