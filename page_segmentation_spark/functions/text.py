@@ -285,6 +285,110 @@ def repetition_signals(
     )
 
 
+def repetition_profile(
+    df, id_col: str, text_col: str, ngrams: tuple = (2, 3, 4),
+    line_sep: str = "\n",
+):
+    """Gopher WITHIN-document repetition rules (Rae et al. 2021 A1.1 —
+    the "repetition removal" family; complements
+    :func:`repetition_signals`, which covers the top-word/2-gram pair):
+
+      * ``dup_line_frac`` — fraction of lines that repeat an earlier
+        line (computed on the RAW text, where line structure lives);
+      * ``dup_line_char_frac`` — fraction of line characters inside
+        those repeats (the paper's "duplicate line character fraction");
+      * ``top{n}gram_char_frac`` for each n — characters covered by the
+        most frequent word n-gram (count x gram length over the
+        normalized text length), ties broken (count desc, gram asc).
+
+    Scale shape: the line stats are per-row array math (zero shuffle);
+    the n-gram stats explode each requested width once (linear), then
+    one hash agg keyed by (doc, n, gram) and one doc-keyed window pick
+    the per-width mode — no quadratic per-row mode computation.  All
+    fractions are integer counts with one final division."""
+    from pyspark.sql import Window
+
+    from page_segmentation_spark.operators.dedup import normalized
+
+    text = F.col(text_col)
+    lines = F.split(text, line_sep)
+    n_lines = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    line_chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
+    dist_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda a, x: a + F.length(x)
+    )
+    base = df.select(
+        F.col(id_col),
+        F.round(
+            (n_lines - n_dist).cast("double") / n_lines.cast("double"), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(
+                line_chars > 0,
+                (line_chars - dist_chars).cast("double")
+                / line_chars.cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+    norm = normalized(text)
+    words = F.split(norm, " ")
+    total_chars = F.length(norm)
+    # closure factory, NOT a default-arg lambda: a two-parameter lambda
+    # makes F.transform pass (element, index) and silently garbles grams
+    def _gram_of(width):
+        return lambda i: F.array_join(F.slice(words, i, width), " ")
+
+    gram_rows = None
+    for n in ngrams:
+        k = F.size(words) - (n - 1)
+        sh = F.when(
+            k >= 1,
+            F.transform(F.sequence(F.lit(1), k), _gram_of(n)),
+        ).otherwise(F.array().cast("array<string>"))
+        r = df.select(
+            F.col(id_col),
+            F.lit(n).alias("n"),
+            total_chars.alias("total_chars"),
+            F.explode(sh).alias("gram"),
+        )
+        gram_rows = r if gram_rows is None else gram_rows.unionByName(r)
+    counts = gram_rows.groupBy(id_col, "n", "gram", "total_chars").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy(id_col, "n").orderBy(
+        F.col("cnt").desc(), F.col("gram").asc()
+    )
+    top = counts.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    frac = (F.col("cnt") * F.length("gram")).cast("double") / F.col(
+        "total_chars"
+    ).cast("double")
+    pivot = top.groupBy(id_col).agg(
+        *[
+            F.round(F.max(F.when(F.col("n") == n, frac)), 6).alias(
+                f"top{n}gram_char_frac"
+            )
+            for n in ngrams
+        ]
+    )
+    joined = base.join(pivot, id_col, "left")
+    return joined.select(
+        id_col,
+        "dup_line_frac",
+        "dup_line_char_frac",
+        *[
+            F.coalesce(F.col(f"top{n}gram_char_frac"), F.lit(0.0)).alias(
+                f"top{n}gram_char_frac"
+            )
+            for n in ngrams
+        ],
+    )
+
+
 def vocab_coverage(
     df,
     id_col: str,

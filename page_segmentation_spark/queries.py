@@ -1764,6 +1764,108 @@ def text_gopher_quality(spark, sf_dir):
     )
 
 
+#: line augmentation for repetition-profile non-vacuity (base texts have
+#: no newlines): every 3rd doc gets a duplicated line, every 5th a
+#: unique one — mirrored literally in the SQL twin.
+_REP_AUG_SQL = (
+    "text || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'repeated filler "
+    "line' || chr(10) || 'repeated filler line' ELSE '' END || CASE WHEN "
+    "doc_id % 5 = 0 THEN chr(10) || 'a unique closing line number ' || "
+    "CAST(doc_id AS VARCHAR) ELSE '' END"
+)
+
+_REP_NORM = "regexp_replace(lower(trim(t)), '\\s+', ' ', 'g')"
+
+
+def _rep_gram_branch(n: int) -> str:
+    return f"""
+      SELECT doc_id, {n} AS n, total_chars,
+             unnest(list_transform(range(1, len(words) - {n - 2}),
+                    i -> array_to_string(list_slice(words, i, i + {n - 1}),
+                                         ' '))) AS gram
+      FROM w WHERE len(words) >= {n}"""
+
+
+@_q(
+    "text_repetition_profile",
+    f"""
+    WITH aug AS (
+      SELECT doc_id, {_REP_AUG_SQL} AS t FROM documents
+    ), base AS (
+      SELECT doc_id,
+        len(string_split(t, chr(10))) AS n_lines,
+        len(list_distinct(string_split(t, chr(10)))) AS n_dist,
+        coalesce(list_sum(list_transform(string_split(t, chr(10)),
+                                         x -> length(x))), 0) AS line_chars,
+        coalesce(list_sum(list_transform(
+            list_distinct(string_split(t, chr(10))),
+            x -> length(x))), 0) AS dist_chars
+      FROM aug
+    ), b2 AS (
+      SELECT doc_id,
+        round(CAST(n_lines - n_dist AS DOUBLE)
+              / CAST(n_lines AS DOUBLE), 6) AS dup_line_frac,
+        round(CASE WHEN line_chars > 0
+              THEN CAST(line_chars - dist_chars AS DOUBLE)
+                   / CAST(line_chars AS DOUBLE)
+              ELSE 0.0 END, 6) AS dup_line_char_frac
+      FROM base
+    ), w AS (
+      SELECT doc_id, string_split({_REP_NORM}, ' ') AS words,
+             length({_REP_NORM}) AS total_chars
+      FROM aug
+    ), g AS (
+      SELECT doc_id, n, gram, total_chars, count(*) AS cnt
+      FROM ({_rep_gram_branch(2)} UNION ALL {_rep_gram_branch(3)}
+            UNION ALL {_rep_gram_branch(4)})
+      GROUP BY 1, 2, 3, 4
+    ), top AS (
+      SELECT doc_id, n, gram, total_chars, cnt,
+             row_number() OVER (PARTITION BY doc_id, n
+                                ORDER BY cnt DESC, gram ASC) AS rn
+      FROM g
+    ), p AS (
+      SELECT doc_id,
+        round(max(CASE WHEN n = 2 THEN CAST(cnt * length(gram) AS DOUBLE)
+                       / CAST(total_chars AS DOUBLE) END), 6) AS f2,
+        round(max(CASE WHEN n = 3 THEN CAST(cnt * length(gram) AS DOUBLE)
+                       / CAST(total_chars AS DOUBLE) END), 6) AS f3,
+        round(max(CASE WHEN n = 4 THEN CAST(cnt * length(gram) AS DOUBLE)
+                       / CAST(total_chars AS DOUBLE) END), 6) AS f4
+      FROM top WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT b2.doc_id, dup_line_frac, dup_line_char_frac,
+           coalesce(f2, 0.0) AS top2gram_char_frac,
+           coalesce(f3, 0.0) AS top3gram_char_frac,
+           coalesce(f4, 0.0) AS top4gram_char_frac
+    FROM b2 LEFT JOIN p ON b2.doc_id = p.doc_id
+    """,
+)
+def text_repetition_profile(spark, sf_dir):
+    """Gopher within-document repetition profile (duplicate-line
+    fractions on raw text + top-n-gram character fractions on the
+    normalized text) over line-augmented fixtures (_REP_AUG_SQL keeps
+    the line stats non-vacuous on the newline-free synthetic corpus)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("\nrepeated filler line\nrepeated filler line"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("\na unique closing line number "),
+                F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return T.repetition_profile(
+        d.select("doc_id", t.alias("text")), "doc_id", "text"
+    )
+
+
 @_q(
     "text_surprisal_buckets",
     """

@@ -957,3 +957,34 @@ def test_surprisal_buckets_exact(spark):
     }
     assert out[0]["surprisal"] == 2.25 and out[0]["bucket"] == "middle"
     assert out[1]["surprisal"] == 3.5 and out[1]["bucket"] == "tail"
+
+
+def test_repetition_profile_exact(spark):
+    """Hand-computed duplicate-line and top-n-gram char fractions."""
+    from page_segmentation_spark.functions.text import repetition_profile
+
+    docs = [
+        # lines: x / y / y / x -> 2 of 4 are repeats; chars 1 each
+        (0, "x\ny\ny\nx"),
+        # norm "a b a b a b c" (13 chars): top 2-gram "a b" cnt 3 ->
+        # 3*3/13; top 3-gram "a b a" cnt 2 -> 2*5/13; top 4-gram
+        # "a b a b" cnt 2 -> 2*7/13 (overlaps count)
+        (1, "a b a b a b c"),
+        (2, "one two"),  # no 3/4-grams -> 0.0
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in repetition_profile(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id", "text",
+        ).collect()
+    }
+    assert out[0]["dup_line_frac"] == 0.5
+    assert out[0]["dup_line_char_frac"] == 0.5
+    assert out[1]["dup_line_frac"] == 0.0
+    assert out[1]["top2gram_char_frac"] == round(9 / 13, 6)
+    assert out[1]["top3gram_char_frac"] == round(10 / 13, 6)
+    assert out[1]["top4gram_char_frac"] == round(14 / 13, 6)
+    assert out[2]["top2gram_char_frac"] == round(7 / 7, 6)
+    assert out[2]["top3gram_char_frac"] == 0.0
+    assert out[2]["top4gram_char_frac"] == 0.0
