@@ -38,6 +38,48 @@ from page_segmentation_spark.functions.text import (
 from page_segmentation_spark.plans.extract import extract
 
 
+def corpus_features(
+    pages: DataFrame,
+    c4_opts: dict | None = None,
+    gopher_opts: dict | None = None,
+    fused: bool = False,
+) -> DataFrame:
+    """The STATELESS part of the funnel — extraction, C4 and Gopher
+    filters, language ID, token count, and content fingerprint, one row
+    per surviving document (url, lang, n_tokens, content_fp,
+    clean_text), duplicates still present.
+
+    Shared verbatim by the batch plan (:func:`build_training_corpus`
+    adds the fingerprint-window dedup) and the streaming plan
+    (``streaming.corpus_stream.stream_training_corpus`` adds stateful
+    cross-batch first-seen dedup); with ``fused=True`` every stage here
+    is stream-safe (one mapInArrow + projections, zero shuffle)."""
+    if fused:
+        from page_segmentation_spark.plans.extract_fused import extract_fused
+
+        ext = extract_fused(pages)
+    else:
+        ext = extract(pages)
+    c4 = c4_line_filter(ext, "url", "extracted_text", **(c4_opts or {}))
+    page_kept = c4.where(F.col("page_kept") == 1)
+    g = gopher_quality(
+        page_kept,
+        "url",
+        "clean_text",
+        extra_cols=("clean_text",),
+        **(gopher_opts or {}),
+    )
+    survivors = g.where(F.col("keep") == 1).select("url", "clean_text")
+    # staged lang ID (with_lang_id docstring: 5-7x over the inline form)
+    return with_lang_id(survivors, "clean_text").select(
+        "url",
+        "lang",
+        token_count(F.col("clean_text")).alias("n_tokens"),
+        fingerprint(F.col("clean_text")).alias("content_fp"),
+        "clean_text",
+    )
+
+
 def build_training_corpus(
     pages: DataFrame,
     c4_opts: dict | None = None,
@@ -57,30 +99,7 @@ def build_training_corpus(
     zero-shuffle fused extraction plan (plans/extract_fused —
     byte-identical output), leaving the dedup fingerprint partition as
     the funnel's ONLY Exchange — the 1000-executor crawl shape."""
-    if fused:
-        from page_segmentation_spark.plans.extract_fused import extract_fused
-
-        ext = extract_fused(pages)
-    else:
-        ext = extract(pages)
-    c4 = c4_line_filter(ext, "url", "extracted_text", **(c4_opts or {}))
-    page_kept = c4.where(F.col("page_kept") == 1)
-    g = gopher_quality(
-        page_kept,
-        "url",
-        "clean_text",
-        extra_cols=("clean_text",),
-        **(gopher_opts or {}),
-    )
-    survivors = g.where(F.col("keep") == 1).select("url", "clean_text")
-    # staged lang ID (with_lang_id docstring: 5-7x over the inline form)
-    out = with_lang_id(survivors, "clean_text").select(
-        "url",
-        "lang",
-        token_count(F.col("clean_text")).alias("n_tokens"),
-        fingerprint(F.col("clean_text")).alias("content_fp"),
-        "clean_text",
-    )
+    out = corpus_features(pages, c4_opts, gopher_opts, fused)
     if dedup:
         w = Window.partitionBy("content_fp")
         out = (

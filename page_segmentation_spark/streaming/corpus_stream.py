@@ -1,0 +1,136 @@
+"""Continuous training-corpus construction over a live crawl.
+
+The streaming twin of ``plans.training_corpus.build_training_corpus``:
+a landing directory of WARC files becomes a continuously-growing,
+already-deduplicated training corpus.
+
+    binaryFile stream -> WARC record parse (mapInArrow)
+      -> corpus_features (fused extract + C4 + Gopher + lang/tokens/fp —
+         ONE stateless Arrow stage plus projections, zero shuffle)
+      -> stateful first-seen dedup keyed by content fingerprint
+         (applyInPandasWithState, cross-micro-batch state)
+
+Every stage before the dedup is stateless, so the only streaming state
+is one entry per distinct surviving content fingerprint (the same
+sizing analysis as ``dedup_stream``: ~50 B/entry in the RocksDB
+provider, partitioned by the fingerprint shuffle).  Because filters run
+BEFORE the stateful stage, boilerplate-only and low-quality pages never
+touch state — at crawl scale the funnel drops most of the stream ahead
+of the expensive stage, same as the batch plan.
+
+Dedup semantics: a fingerprint emits exactly once, on the micro-batch
+that first sees it, represented by the lexicographic-min url within
+that batch (deterministic); later sightings only bump the state
+counter, so an append sink stays exactly-once for corpus rows.  This
+module keeps permanent state (forever-dedup); for TTL-bounded state see
+``dedup_stream.first_seen_stream``'s event-time horizon — the extracted
+rows here no longer carry an event-time column (the fused kernel prunes
+to url+html), which is the documented trade for the zero-shuffle shape.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from page_segmentation_spark.plans.training_corpus import corpus_features
+
+CORPUS_OUTPUT_SCHEMA = (
+    "url string, lang string, n_tokens long, content_fp string, "
+    "clean_text string, dup_in_batch long"
+)
+CORPUS_STATE_SCHEMA = "n_seen long"
+
+
+def _first_corpus_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    n = len(rows)
+    if state.exists:
+        (seen,) = state.get
+        state.update((seen + n,))
+        return
+    state.update((n,))
+    first = rows.sort_values("url").iloc[[0]].copy()
+    first["dup_in_batch"] = n
+    yield first[
+        ["url", "lang", "n_tokens", "content_fp", "clean_text", "dup_in_batch"]
+    ]
+
+
+def corpus_stream(
+    pages: DataFrame,
+    c4_opts: dict | None = None,
+    gopher_opts: dict | None = None,
+) -> DataFrame:
+    """(streaming) pages -> first-seen deduplicated corpus rows.
+
+    Feed a ``readStream`` pages DataFrame (url, warc_ts, html, text,
+    lang); returns a streaming DataFrame of CORPUS_OUTPUT_SCHEMA rows —
+    write with ``outputMode("update")`` (emissions are one-shot, so
+    append semantics hold at the sink)."""
+    feats = corpus_features(pages, c4_opts, gopher_opts, fused=True)
+    return feats.groupBy("content_fp").applyInPandasWithState(
+        _first_corpus_fn,
+        outputStructType=CORPUS_OUTPUT_SCHEMA,
+        stateStructType=CORPUS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_training_corpus(
+    spark: SparkSession,
+    warc_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    c4_opts: dict | None = None,
+    gopher_opts: dict | None = None,
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int = 16,
+):
+    """Run the continuous corpus build off a WARC landing directory and
+    append surviving first-seen rows to ``output_path`` (parquet).
+
+    Each WARC file is consumed exactly once (file-source checkpointing);
+    corpus rows emit exactly once per distinct fingerprint (state), so
+    the plain append sink accumulates a deduplicated corpus across
+    restarts."""
+    from page_segmentation_spark.sources.warc import (
+        BINARY_FILE_DDL,
+        warc_records,
+    )
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(warc_path)
+    )
+    pages = warc_records(files).select(
+        "url",
+        "warc_ts",
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    out = corpus_stream(pages, c4_opts, gopher_opts)
+
+    def write_batch(df: DataFrame, _bid: int) -> None:
+        df.write.mode("append").parquet(output_path)
+
+    writer = (
+        out.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

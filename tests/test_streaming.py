@@ -262,3 +262,80 @@ def test_stream_extract_fused_plan_matches_batch(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         stream_extract(spark, src, out, ckpt, plan="nope")
+
+
+def test_stream_training_corpus_cross_batch_dedup(spark, tmp_path):
+    """Continuous corpus build: the funnel filters run per micro-batch,
+    and the content-fingerprint state suppresses re-delivered content
+    across separate streaming cycles (restart-surviving state)."""
+    import os
+
+    from page_segmentation_spark.packaging import ship_package
+    from page_segmentation_spark.sources.warc import build_warc
+    from page_segmentation_spark.streaming.corpus_stream import (
+        stream_training_corpus,
+    )
+
+    ship_package(spark)
+    src = str(tmp_path / "warc_in")
+    ckpt = str(tmp_path / "corpus_ckpt")
+    sink = str(tmp_path / "corpus_out")
+    os.makedirs(src)
+
+    def page_html(title, paras):
+        return (
+            "<!DOCTYPE html><html><head><title>t</title></head><body>"
+            f"<article><h1>{title}</h1>"
+            + "".join(f"<p>{p}</p>" for p in paras)
+            + "</article>"
+            '<nav><ul><li><a href="/">Home</a></li>'
+            '<li><a href="/a">About us</a></li>'
+            '<li><a href="/c">Contact</a></li></ul></nav></body></html>'
+        ).encode()
+
+    body_x = [
+        "the quick brown fox jumps over the lazy dog and then rests "
+        "with a calm heart near the river bank every day.",
+        "a second paragraph of plain prose keeps the word count up "
+        "and gives the filter something real to keep.",
+        "the third paragraph closes out this little document with "
+        "enough words that every rule passes today.",
+    ]
+    body_y = [p.replace("quick", "slow").replace("second", "middle")
+              for p in body_x]
+    body_z = [p.replace("fox", "wolf").replace("little", "larger")
+              for p in body_x]
+
+    def run_cycle():
+        q = stream_training_corpus(spark, src, sink, ckpt)
+        q.awaitTermination(180)
+
+    def recs(pages):
+        return [
+            {"url": u, "ts": "2024-01-01T00:00:00Z", "body": page_html(t, b)}
+            for u, t, b in pages
+        ]
+
+    with open(os.path.join(src, "c1.warc.gz"), "wb") as f:
+        f.write(build_warc(recs([
+            ("https://s/a", "One", body_x),
+            ("https://s/b", "Two", body_x),   # same content as /a
+            ("https://s/c", "Three", body_y),
+        ])))
+    run_cycle()
+    out1 = spark.read.parquet(sink).collect()
+    assert {r["url"] for r in out1} == {"https://s/a", "https://s/c"}
+    assert {r["dup_in_batch"] for r in out1} == {2, 1}
+
+    # cycle 2: re-delivered body_x suppressed by STATE; body_z is new
+    with open(os.path.join(src, "c2.warc.gz"), "wb") as f:
+        f.write(build_warc(recs([
+            ("https://s/d", "Four", body_x),
+            ("https://s/e", "Five", body_z),
+        ])))
+    run_cycle()
+    out2 = spark.read.parquet(sink).collect()
+    assert {r["url"] for r in out2} == {
+        "https://s/a", "https://s/c", "https://s/e"
+    }
+    assert all(r["lang"] == "en" and r["n_tokens"] >= 50 for r in out2)
