@@ -285,6 +285,34 @@ def repetition_signals(
     )
 
 
+def host_cap(df, url_col: str, max_per_host: int):
+    """C4-style per-host frequency cap: keep at most ``max_per_host``
+    documents per registered host, selecting deterministically by url
+    order (the C4 paper caps page counts per domain so megasites cannot
+    dominate the corpus; combine with :func:`url_normalize` upstream).
+
+    Output: input columns + host, host_rank (1-based), kept int.
+    Callers drop with ``where(kept = 1)``; ranks are retained so the
+    cap itself stays auditable.
+
+    Scale shape: one hash partition on host + per-host sort — hosts are
+    the natural partition key and megasite skew is bounded by the cap
+    itself being the output limit (AQE skew-join handling applies to
+    the exchange; the window sort is per-host, never global)."""
+    from pyspark.sql import Window
+
+    host = url_host(F.col(url_col))
+    w = Window.partitionBy("host").orderBy(F.col(url_col).asc())
+    return (
+        df.select("*", host.alias("host"))
+        .withColumn("host_rank", F.row_number().over(w))
+        .withColumn(
+            "kept",
+            (F.col("host_rank") <= max_per_host).cast("int"),
+        )
+    )
+
+
 def repetition_profile(
     df, id_col: str, text_col: str, ngrams: tuple = (2, 3, 4),
     line_sep: str = "\n",

@@ -1283,6 +1283,44 @@ def text_url_hosts(spark, sf_dir):
     )
 
 
+@_q(
+    "text_host_cap",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.test/doc/'
+               || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ), r AS (
+      SELECT doc_id, url,
+             {T.url_host_sql('url')} AS host,
+             row_number() OVER (
+               PARTITION BY {T.url_host_sql('url')} ORDER BY url ASC
+             ) AS host_rank
+      FROM u
+    )
+    SELECT doc_id, url, host,
+           CAST(host_rank AS BIGINT) AS host_rank,
+           CAST(CASE WHEN host_rank <= 10 THEN 1 ELSE 0 END AS INT) AS kept
+    FROM r
+    """,
+)
+def text_host_cap(spark, sf_dir):
+    """C4-style per-host frequency cap (keep at most K docs per host,
+    deterministic url order) — cap 10 splits the fixture hosts
+    non-vacuously (each fixture host carries ~25 docs)."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.test/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    out = T.host_cap(d.select("doc_id", url.alias("url")), "url", 10)
+    return out.select(
+        "doc_id", "url", "host",
+        F.col("host_rank").cast("long").alias("host_rank"), "kept",
+    )
+
+
 #: messy-URL fixture: one case per normalization branch (upper scheme /
 #: host, default ports, fragments, trailing slash, scheme-less, non-http
 #: port kept).  The CASE is mirrored verbatim in the oracle SQL.

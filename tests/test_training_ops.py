@@ -988,3 +988,21 @@ def test_repetition_profile_exact(spark):
     assert out[2]["top2gram_char_frac"] == round(7 / 7, 6)
     assert out[2]["top3gram_char_frac"] == 0.0
     assert out[2]["top4gram_char_frac"] == 0.0
+
+
+def test_host_cap(spark):
+    """Per-host cap keeps the K lexicographically-first urls per host."""
+    from page_segmentation_spark.functions.text import host_cap
+
+    urls = [
+        "https://big.test/1", "https://big.test/2", "https://big.test/3",
+        "https://small.test/1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = {r["url"]: r for r in host_cap(df, "url", 2).collect()}
+    assert out["https://big.test/1"]["kept"] == 1
+    assert out["https://big.test/2"]["kept"] == 1
+    assert out["https://big.test/3"]["kept"] == 0
+    assert out["https://small.test/1"]["kept"] == 1
+    assert out["https://big.test/3"]["host_rank"] == 3
+    assert out["https://big.test/3"]["host"] == "big.test"
