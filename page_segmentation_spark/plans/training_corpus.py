@@ -86,6 +86,8 @@ def build_training_corpus(
     gopher_opts: dict | None = None,
     dedup: bool = True,
     fused: bool = False,
+    neardup: bool = False,
+    neardup_opts: dict | None = None,
 ) -> DataFrame:
     """Run the full corpus-construction funnel over crawl pages.
 
@@ -98,7 +100,15 @@ def build_training_corpus(
     MinHash/SimHash pass owns dedup).  ``fused=True`` swaps in the
     zero-shuffle fused extraction plan (plans/extract_fused —
     byte-identical output), leaving the dedup fingerprint partition as
-    the funnel's ONLY Exchange — the 1000-executor crawl shape."""
+    the funnel's ONLY Exchange — the 1000-executor crawl shape.
+
+    ``neardup=True`` appends the full near-duplicate pass after exact
+    dedup: MinHash-LSH candidates verified by exact n-gram Jaccard
+    (``neardup_opts`` forwards to
+    :func:`operators.dedup.lsh_verified_pairs`), connected components
+    over the surviving pair graph, and min-url-representative selection
+    — the RefinedWeb/FineWeb two-stage dedup.  Batch-only (iterative
+    label propagation); the streaming funnel stops at exact dedup."""
     out = corpus_features(pages, c4_opts, gopher_opts, fused)
     if dedup:
         w = Window.partitionBy("content_fp")
@@ -106,5 +116,45 @@ def build_training_corpus(
             out.withColumn("keep_url", F.min("url").over(w))
             .where(F.col("url") == F.col("keep_url"))
             .drop("keep_url")
+        )
+    if neardup:
+        from page_segmentation_spark.operators.components import (
+            connected_components,
+        )
+        from page_segmentation_spark.operators.dedup import (
+            lsh_verified_pairs,
+        )
+
+        # lineage barrier: the pair builder and the label table both
+        # re-reference the funnel subtree (and would recompute it up to
+        # 3x); the lazy localCheckpoint replaces it with an
+        # executor-persisted scan, same discipline as
+        # connected_components' own per-round truncation.
+        out = out.localCheckpoint(eager=False)
+        # Catalyst's Union constraint rewrite throws an internal
+        # AttributeMap key-not-found when the funnel's constraints meet
+        # the label-propagation unions; constraint propagation is an
+        # optimizer nicety the iterative stage does not need, so switch
+        # it off while these plans are ANALYZED (each localCheckpoint
+        # analyzes eagerly) and restore afterwards.
+        spark = out.sparkSession
+        _ckey = "spark.sql.constraintPropagation.enabled"
+        _prev = spark.conf.get(_ckey, "true")
+        spark.conf.set(_ckey, "false")
+        try:
+            pairs = lsh_verified_pairs(
+                out, "url", "clean_text", **(neardup_opts or {})
+            ).localCheckpoint(eager=False)
+            labels = connected_components(
+                out.select("url"), pairs, id_col="url"
+            ).localCheckpoint(eager=False)
+        finally:
+            spark.conf.set(_ckey, _prev)
+        out = out.join(
+            labels.where(F.col("id") == F.col("label")).select(
+                F.col("id").alias("url")
+            ),
+            "url",
+            "left_semi",
         )
     return out

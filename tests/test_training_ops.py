@@ -1006,3 +1006,44 @@ def test_host_cap(spark):
     assert out["https://small.test/1"]["kept"] == 1
     assert out["https://big.test/3"]["host_rank"] == 3
     assert out["https://big.test/3"]["host"] == "big.test"
+
+
+def test_build_training_corpus_neardup(spark):
+    """neardup=True removes verified near-duplicate clusters, keeping
+    the min-url representative — exact-dup pages already collapsed by
+    the fingerprint stage, near-dup pages by the LSH+Jaccard+components
+    chain."""
+    from page_segmentation_spark.plans.training_corpus import (
+        build_training_corpus,
+    )
+
+    body = [
+        "the quick brown fox jumps over the lazy dog and then rests "
+        "with a calm heart near the river bank every day.",
+        "a second paragraph of plain prose keeps the word count up "
+        "and gives the filter something real to keep.",
+        "the third paragraph closes out this little document with "
+        "enough words that every rule passes today.",
+    ]
+    near = [body[0], body[1],
+            body[2].replace("rule passes", "rule still passes")]
+    other = [p.replace("the", "an overly").replace("fox", "heron")
+             for p in body]
+    pages = spark.createDataFrame(
+        [
+            _pipe_page("https://t/a", "One", body),
+            _pipe_page("https://t/b", "Two", near),    # near-dup of /a
+            _pipe_page("https://t/c", "Three", other), # distinct
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    base = {r["url"] for r in build_training_corpus(pages).collect()}
+    assert base == {"https://t/a", "https://t/b", "https://t/c"}
+    nd = {
+        r["url"]
+        for r in build_training_corpus(
+            pages, neardup=True,
+            neardup_opts=dict(threshold=0.5, n_perms=8, band_size=2),
+        ).collect()
+    }
+    assert nd == {"https://t/a", "https://t/c"}
