@@ -471,13 +471,22 @@ def vocab_coverage(
     )
 
 
-def surprisal_buckets(df, id_col: str, text_col: str):
+def surprisal_buckets(df, id_col: str, text_col: str, ref=None,
+                      ref_text_col: str | None = None):
     """CCNet-style rarity scoring + head/middle/tail bucketing (Wenzek
     et al. 2020 §4.4 filter corpora by LM perplexity terciles; this is
     the engine-portable analog with an integer-exact score instead of a
     KenLM model): a document's surprisal is the mean over its tokens of
     ``N_total // corpus_count(token)`` — common-word documents score
     low (head), rare-word documents high (tail).
+
+    ``ref`` (optional DataFrame) supplies the counting corpus — the
+    CCNet train/apply split, where crawl text is scored against a
+    trusted reference (Wikipedia there): counts and N_total come from
+    ``ref[ref_text_col or text_col]``, and a token absent from the
+    reference contributes the maximum integer surprisal ``N_total``
+    (the cnt=1 floor — the deterministic analog of an OOV penalty).
+    With ``ref=None`` the corpus scores against itself.
 
     The integer floor-division inside the sum is WHY the score is
     engine-reproducible: per-token contributions are exact integers, the
@@ -503,14 +512,23 @@ def surprisal_buckets(df, id_col: str, text_col: str):
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(text)), r"\s+")).alias("tok"),
     )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    if ref is None:
+        count_src = toks.select("tok")
+        join_type = "inner"  # every corpus token is in its own counts
+    else:
+        rt = F.col(ref_text_col or text_col)
+        count_src = ref.where(F.length(F.trim(rt)) > 0).select(
+            F.explode(F.split(F.trim(F.lower(rt)), r"\s+")).alias("tok")
+        )
+        join_type = "left"  # OOV tokens: cnt NULL -> the cnt=1 floor
+    counts = count_src.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("n_total"))
     scored = (
-        toks.join(counts, "tok")
+        toks.join(counts, "tok", join_type)
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
-            F.sum(F.expr("n_total DIV cnt")).alias("s_int"),
+            F.sum(F.expr("n_total DIV coalesce(cnt, 1L)")).alias("s_int"),
             F.count(F.lit(1)).alias("n_toks"),
         )
     )

@@ -1947,6 +1947,70 @@ def text_surprisal_buckets(spark, sf_dir):
     return T.surprisal_buckets(d, "doc_id", "text")
 
 
+@_q(
+    "text_surprisal_ref",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+                          THEN ' uniq' || CAST(doc_id AS VARCHAR)
+                          ELSE '' END AS t
+      FROM documents
+    ), toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(t)), '\\s+')) AS tok
+      FROM aug WHERE length(trim(t)) > 0
+    ), rtoks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents WHERE doc_id % 4 = 0 AND length(trim(text)) > 0
+    ), counts AS (
+      SELECT tok, count(*) AS cnt FROM rtoks GROUP BY tok
+    ), total AS (
+      SELECT sum(cnt) AS n_total FROM counts
+    ), scored AS (
+      SELECT doc_id,
+             sum(n_total // coalesce(cnt, 1)) AS s_int,
+             count(*) AS n_toks
+      FROM toks LEFT JOIN counts USING (tok) CROSS JOIN total
+      GROUP BY doc_id
+    ), sc AS (
+      SELECT doc_id,
+             CAST(s_int AS DOUBLE) / CAST(n_toks AS DOUBLE) AS surprisal
+      FROM scored
+    ), ranked AS (
+      SELECT doc_id, surprisal,
+             row_number() OVER (ORDER BY surprisal, doc_id) AS r,
+             count(*) OVER () AS m
+      FROM sc
+    )
+    SELECT doc_id, round(surprisal, 6) AS surprisal,
+           CASE WHEN r * 3 <= m THEN 'head'
+                WHEN r * 3 <= 2 * m THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+)
+def text_surprisal_ref(spark, sf_dir):
+    """The CCNet train/apply split: documents scored against a
+    REFERENCE corpus's token counts (every 4th doc plays Wikipedia);
+    every 7th doc carries a unique token absent from the reference,
+    exercising the deterministic OOV floor (cnt -> 1, contribution
+    N_total)."""
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" uniq"), F.col("doc_id").cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    ref = d.where(F.col("doc_id") % 4 == 0)
+    return T.surprisal_buckets(aug, "doc_id", "text", ref=ref)
+
+
 def _gopher_ct_sql(min_words: int) -> str:
     """Gopher rule CTEs over a (url, ct) relation named ``page`` —
     mirrors functions/text.gopher_quality on the clean text, unrounded

@@ -1047,3 +1047,23 @@ def test_build_training_corpus_neardup(spark):
         ).collect()
     }
     assert nd == {"https://t/a", "https://t/c"}
+
+
+def test_surprisal_ref_corpus_and_oov(spark):
+    """Reference-corpus scoring: counts come from the ref; a token the
+    reference never saw contributes the full N_total (cnt=1 floor)."""
+    from page_segmentation_spark.functions.text import surprisal_buckets
+
+    ref = spark.createDataFrame([(100, "a a b")], "doc_id long, text string")
+    # ref counts: a=2, b=1, N=3
+    docs = [(0, "a b"), (1, "a zz")]
+    # doc0: 3//2 + 3//1 = 4 over 2 -> 2.0 ; doc1: 1 + 3 (OOV) = 4/2 -> 2.0
+    out = {
+        r["doc_id"]: r
+        for r in surprisal_buckets(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id", "text", ref=ref,
+        ).collect()
+    }
+    assert out[0]["surprisal"] == 2.0
+    assert out[1]["surprisal"] == 2.0
