@@ -285,6 +285,32 @@ def repetition_signals(
     )
 
 
+def truncate_tokens(df, id_col: str, text_col: str, max_tokens: int):
+    """Head truncation to a whitespace-token budget (the sequence-length
+    cap every training pipeline applies before tokenization): documents
+    over ``max_tokens`` keep their first ``max_tokens`` tokens
+    (whitespace-normalized in the truncated branch — the join is by
+    single spaces); shorter documents pass through BYTE-IDENTICAL.
+
+    Output: (id, text, n_tokens_in, n_tokens_out, truncated int).
+    Zero-shuffle Catalyst projection."""
+    text = F.col(text_col)
+    blank = F.length(F.trim(text)) == 0
+    words = F.split(F.trim(text), r"\s+")
+    n_in = F.when(blank, F.lit(0)).otherwise(F.size(words)).cast("long")
+    over = n_in > max_tokens
+    out_text = F.when(
+        over, F.array_join(F.slice(words, 1, max_tokens), " ")
+    ).otherwise(text)
+    return df.select(
+        F.col(id_col),
+        out_text.alias(text_col),
+        n_in.alias("n_tokens_in"),
+        F.least(n_in, F.lit(max_tokens)).cast("long").alias("n_tokens_out"),
+        over.cast("int").alias("truncated"),
+    )
+
+
 def host_cap(df, url_col: str, max_per_host: int):
     """C4-style per-host frequency cap: keep at most ``max_per_host``
     documents per registered host, selecting deterministically by url

@@ -1948,6 +1948,34 @@ def text_surprisal_buckets(spark, sf_dir):
 
 
 @_q(
+    "text_truncate",
+    """
+    WITH w AS (
+      SELECT doc_id, text,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_in,
+        string_split_regex(trim(text), '\\s+') AS words
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN n_in > 40
+                THEN array_to_string(list_slice(words, 1, 40), ' ')
+                ELSE text END AS text,
+           CAST(n_in AS BIGINT) AS n_tokens_in,
+           CAST(least(n_in, 40) AS BIGINT) AS n_tokens_out,
+           CAST(CASE WHEN n_in > 40 THEN 1 ELSE 0 END AS INT) AS truncated
+    FROM w
+    """,
+)
+def text_truncate(spark, sf_dir):
+    """Head truncation to a 40-token budget — the fixture corpus spans
+    10-99 words, so both branches (byte-identical passthrough and
+    whitespace-normalized truncation) are exercised."""
+    d = _t(spark, sf_dir, "documents")
+    return T.truncate_tokens(d, "doc_id", "text", 40)
+
+
+@_q(
     "text_surprisal_ref",
     """
     WITH aug AS (

@@ -1067,3 +1067,21 @@ def test_surprisal_ref_corpus_and_oov(spark):
     }
     assert out[0]["surprisal"] == 2.0
     assert out[1]["surprisal"] == 2.0
+
+
+def test_truncate_tokens(spark):
+    """Over-budget docs truncate at the word boundary; short docs pass
+    through byte-identical (including odd whitespace)."""
+    from page_segmentation_spark.functions.text import truncate_tokens
+
+    docs = [(0, "one  two\tthree four"), (1, "a b c")]
+    out = {
+        r["doc_id"]: r
+        for r in truncate_tokens(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id", "text", 3,
+        ).collect()
+    }
+    assert out[0]["text"] == "one two three" and out[0]["truncated"] == 1
+    assert out[0]["n_tokens_in"] == 4 and out[0]["n_tokens_out"] == 3
+    assert out[1]["text"] == "a b c" and out[1]["truncated"] == 0
