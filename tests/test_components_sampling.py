@@ -192,3 +192,33 @@ def test_stratified_sample_python_twin(spark, docs):
         if _h32_py(f"{i}:m1") < rates[strat(i)] * 2**32
     }
     assert kept == expect
+
+
+def test_driver_fixture_converges_within_gated_iters(spark):
+    """The gated `dedup_components` row runs fixed iters=4 against an
+    EXACT recursive-CTE oracle (queries.py).  Fixed iteration is exact
+    only while every fixture component sits within the propagate+shortcut
+    horizon — this test recomputes the same fixture pairs and asserts the
+    fixed-iters labels equal the converged fixed point, so a fixture or
+    threshold change that needs more rounds fails HERE with a clear
+    message instead of as a confusing driver-gate hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from page_segmentation_spark.operators import dedup as D
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").where(
+        F.col("doc_id") < 100
+    )
+    pairs = D.simhash_neardup_pairs(
+        d, "doc_id", "text", max_hamming=8, bits=64
+    ).persist()
+    fixed = _labels_map(
+        CC.connected_components(d, pairs, id_col="doc_id", iters=4)
+    )
+    converged, rounds = CC.connected_components_converged(
+        d, pairs, id_col="doc_id", max_iters=20
+    )
+    assert fixed == _labels_map(converged), (
+        "dedup_components fixture needs more than iters=4 to converge "
+        f"(converged in {rounds} rounds) — bump iters in queries.py"
+    )

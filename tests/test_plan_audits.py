@@ -163,3 +163,27 @@ def test_queries_construction_is_action_free(spark):
     finally:
         for a, f in saved.items():
             setattr(DataFrame, a, f)
+
+
+def test_survey_rows_inside_driver_recorded_window():
+    """The driver records a prefix of the catalog (round 4: first 50 of
+    73).  Every SURVEY §2-mapped row, flagship, funnel, and mm_* row must
+    sit inside that window so CORRECTNESS_r{N}.json carries a row for
+    each — the catalog reorder block in queries.py pins this."""
+    keys = list(QUERIES)
+    must_be_recorded = [
+        "s1_triple_align", "j5_range_join", "a1_profile", "a2_vote",
+        "a3_bbox", "a4_label_pct", "a5_fgpa", "a6_overlap_per_class",
+        "a8_accuracy", "a9_f1", "a10_cc_matching",
+        "a11_per_component_metric", "a12_char_height", "a13_average_all",
+        "w1_islands", "w2_segments", "w3_xycut_segments",
+        "x1_set_intersection", "x2_split", "x3_folds", "x4_section_concat",
+        "f2_filename_verification", "f4_shape_filter", "p12_points_parse",
+        "p14_overlay_mask", "extract_flagship", "extract_fused_flagship",
+        "extract_pdf_flagship", "extract_pdf_encrypted",
+        "extract_arch_wide", "extract_arch_trained",
+        "pipeline_training_corpus", "mm_media_stats", "mm_feature_extract",
+        "mm_audio_features", "mm_video_meta", "text_bpe_tokens",
+    ]
+    for name in must_be_recorded:
+        assert keys.index(name) < 50, (name, keys.index(name))
