@@ -1531,13 +1531,97 @@ def text_vocab_coverage(spark, sf_dir):
     return T.vocab_coverage(d, "doc_id", "text", top_k=500)
 
 
-@_q("text_bpe_tokens")
+def _bpe_sql() -> str:
+    """WITH RECURSIVE twin of the iterative BPE merge loop (bpe.bpe_word):
+    each word's symbol sequence is a chr(31)-sentinel-joined string; every
+    recursion step finds the lowest-rank merge whose pattern
+    ``SEP a SEP b SEP`` occurs anywhere in the string and splices the
+    LEFTMOST occurrence (``position`` = leftmost; the Python loop's strict
+    ``<`` keeps the first best index — same pick), terminating when no
+    ranked pair remains.  The frozen MERGES table is inlined as VALUES, so
+    a merge-table regeneration re-derives the oracle automatically.
+    Distinct words tokenize once (the SQL analog of the kernel's per-word
+    memo cache) and re-attach by word position for the in-order preview."""
+    from page_segmentation_spark.functions.bpe import MERGES
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    vals = ", ".join(
+        f"({i}, '{esc(a)}', '{esc(b)}')" for i, (a, b) in enumerate(MERGES)
+    )
+    pat = "(chr(31) || m.a || chr(31) || m.b || chr(31))"
+    return f"""
+    WITH RECURSIVE merges(rank, a, b) AS (
+      SELECT * FROM (VALUES {vals}) AS m(rank, a, b)
+    ),
+    words AS (
+      SELECT doc_id, u.wpos AS wpos, ws[u.wpos] AS word
+      FROM (
+        SELECT doc_id,
+               regexp_extract_all(lower(text),
+                                  '[a-z]+|[0-9]+|[^\\sa-z0-9]') AS ws
+        FROM documents
+      ) t, unnest(range(1, len(ws) + 1)) AS u(wpos)
+    ),
+    dw AS (SELECT DISTINCT word FROM words),
+    init AS (
+      SELECT word,
+             chr(31) || array_to_string(
+               list_append(
+                 list_transform(range(1, length(word)), i -> word[i]),
+                 word[length(word)] || '</w>'
+               ), chr(31)) || chr(31) AS s
+      FROM dw
+    ),
+    rec AS (
+      SELECT word, s FROM init
+      UNION ALL
+      SELECT t.word,
+             substring(t.s, 1, pos - 1)
+               || chr(31) || mm.a || mm.b || chr(31)
+               || substring(t.s, pos + length(
+                    chr(31) || mm.a || chr(31) || mm.b || chr(31)))
+      FROM (
+        SELECT r.word, r.s,
+               (SELECT min(m.rank) FROM merges m
+                WHERE position({pat} IN r.s) > 0) AS br
+        FROM rec r
+      ) t
+      JOIN merges mm ON mm.rank = t.br
+      CROSS JOIN LATERAL (
+        SELECT position(
+          (chr(31) || mm.a || chr(31) || mm.b || chr(31)) IN t.s) AS pos
+      ) q
+    ),
+    fin AS (
+      SELECT word, string_split(trim(s, chr(31)), chr(31)) AS toks
+      FROM rec r
+      WHERE NOT EXISTS (
+        SELECT 1 FROM merges m WHERE position({pat} IN r.s) > 0
+      )
+    ),
+    agg AS (
+      SELECT w.doc_id, flatten(list(f.toks ORDER BY w.wpos)) AS all_toks
+      FROM words w JOIN fin f ON w.word = f.word
+      GROUP BY w.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(len(a.all_toks), 0) AS BIGINT) AS n_bpe_tokens,
+           coalesce(array_to_string(a.all_toks[1:8], ','), '')
+             AS bpe_preview
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
+
+@_q("text_bpe_tokens", _bpe_sql())
 def text_bpe_tokens(spark, sf_dir):
     """REAL subword tokenization: Sennrich-style BPE with a frozen
     corpus-trained merge table (functions/bpe.py), Arrow-batched with a
-    per-word memo cache.  Rows-only driver check — the iterative greedy
-    merge loop has no single-query SQL form; token semantics are pinned
-    by tests/test_bpe.py (merge order, determinism, round-trip)."""
+    per-word memo cache.  The oracle is a WITH RECURSIVE twin of the
+    greedy merge loop (one leftmost lowest-rank pair splice per step —
+    _bpe_sql), so merge ORDER, not just counts, is under the hash gate;
+    token semantics are additionally pinned by tests/test_bpe.py."""
     from page_segmentation_spark.functions.bpe import with_bpe_tokens
     from page_segmentation_spark.packaging import ship_package
 
