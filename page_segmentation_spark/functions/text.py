@@ -311,32 +311,53 @@ def truncate_tokens(df, id_col: str, text_col: str, max_tokens: int):
     )
 
 
-def host_cap(df, url_col: str, max_per_host: int):
+def _host_cap_candidates(df, url_col: str, max_per_host: int, n_salts: int):
+    """Phase 1 of the salted two-phase cap: per (host, salt) keep the
+    ``max_per_host`` lexicographically-first urls.  min-K by url is
+    ASSOCIATIVE (the global per-host top-K is a subset of the union of
+    per-salt top-Ks), so phase 2 over these survivors reproduces the
+    unsalted result exactly while every phase-1 window task holds at
+    most ceil(host_size / n_salts) rows and every phase-2 task at most
+    ``n_salts * max_per_host`` rows per host.  Exposed for the skew test
+    (bounded per-host survivor count)."""
+    from pyspark.sql import Window
+
+    host = url_host(F.col(url_col))
+    salt = F.pmod(F.crc32(F.col(url_col).cast("string")), F.lit(n_salts))
+    w1 = Window.partitionBy("host", "__salt").orderBy(F.col(url_col).asc())
+    return (
+        df.select("*", host.alias("host"), salt.alias("__salt"))
+        .withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= max_per_host)
+        .drop("__salt", "__r1")
+    )
+
+
+def host_cap(df, url_col: str, max_per_host: int, n_salts: int = 16):
     """C4-style per-host frequency cap: keep at most ``max_per_host``
     documents per registered host, selecting deterministically by url
     order (the C4 paper caps page counts per domain so megasites cannot
     dominate the corpus; combine with :func:`url_normalize` upstream).
 
-    Output: input columns + host, host_rank (1-based), kept int.
-    Callers drop with ``where(kept = 1)``; ranks are retained so the
-    cap itself stays auditable.
+    Output: the KEPT rows — input columns + host, host_rank (1-based,
+    exact within the kept set).
 
-    Scale shape: one hash partition on host + per-host sort — hosts are
-    the natural partition key and megasite skew is bounded by the cap
-    itself being the output limit (AQE skew-join handling applies to
-    the exchange; the window sort is per-host, never global)."""
+    Scale shape — two-phase salted top-K: a naive per-host row_number
+    window lands a megasite host's ENTIRE page set (10^8-10^9 rows in a
+    real crawl) in one window partition = one straggler task, and AQE
+    skew handling splits joins, not windows.  Phase 1 ranks within
+    (host, salt = crc32(url) % n_salts) and keeps the per-salt K-first
+    urls — min-K is associative, so nothing the global top-K needs is
+    lost; phase 2 ranks the <= n_salts*K survivors per host.  Same
+    output as the single-window form (pinned by the skew test), hottest
+    task bounded by max(host_size/n_salts, n_salts*K) rows."""
     from pyspark.sql import Window
 
-    host = url_host(F.col(url_col))
-    w = Window.partitionBy("host").orderBy(F.col(url_col).asc())
-    return (
-        df.select("*", host.alias("host"))
-        .withColumn("host_rank", F.row_number().over(w))
-        .withColumn(
-            "kept",
-            (F.col("host_rank") <= max_per_host).cast("int"),
-        )
-    )
+    survivors = _host_cap_candidates(df, url_col, max_per_host, n_salts)
+    w2 = Window.partitionBy("host").orderBy(F.col(url_col).asc())
+    return survivors.withColumn(
+        "host_rank", F.row_number().over(w2)
+    ).where(F.col("host_rank") <= max_per_host)
 
 
 def repetition_profile(

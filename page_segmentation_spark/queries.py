@@ -1299,16 +1299,17 @@ def text_url_hosts(spark, sf_dir):
              ) AS host_rank
       FROM u
     )
-    SELECT doc_id, url, host,
-           CAST(host_rank AS BIGINT) AS host_rank,
-           CAST(CASE WHEN host_rank <= 10 THEN 1 ELSE 0 END AS INT) AS kept
-    FROM r
+    SELECT doc_id, url, host, CAST(host_rank AS BIGINT) AS host_rank
+    FROM r WHERE host_rank <= 10
     """,
 )
 def text_host_cap(spark, sf_dir):
     """C4-style per-host frequency cap (keep at most K docs per host,
     deterministic url order) — cap 10 splits the fixture hosts
-    non-vacuously (each fixture host carries ~25 docs)."""
+    non-vacuously (each fixture host carries ~25 docs).  Spark side runs
+    the salted two-phase top-K (text.host_cap); the oracle is the plain
+    single-window form — identical kept set and ranks because per-salt
+    min-K union contains the per-host min-K."""
     d = _t(spark, sf_dir, "documents")
     url = F.concat(
         F.lit("https://"), F.col("source"), F.lit(".example.test/doc/"),
@@ -1317,7 +1318,7 @@ def text_host_cap(spark, sf_dir):
     out = T.host_cap(d.select("doc_id", url.alias("url")), "url", 10)
     return out.select(
         "doc_id", "url", "host",
-        F.col("host_rank").cast("long").alias("host_rank"), "kept",
+        F.col("host_rank").cast("long").alias("host_rank"),
     )
 
 

@@ -1000,12 +1000,64 @@ def test_host_cap(spark):
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
     out = {r["url"]: r for r in host_cap(df, "url", 2).collect()}
-    assert out["https://big.test/1"]["kept"] == 1
-    assert out["https://big.test/2"]["kept"] == 1
-    assert out["https://big.test/3"]["kept"] == 0
-    assert out["https://small.test/1"]["kept"] == 1
-    assert out["https://big.test/3"]["host_rank"] == 3
-    assert out["https://big.test/3"]["host"] == "big.test"
+    assert set(out) == {
+        "https://big.test/1", "https://big.test/2", "https://small.test/1"
+    }
+    assert out["https://big.test/1"]["host_rank"] == 1
+    assert out["https://big.test/2"]["host_rank"] == 2
+    assert out["https://small.test/1"]["host_rank"] == 1
+    assert out["https://big.test/2"]["host"] == "big.test"
+
+
+def test_host_cap_salted_matches_exact_on_megasite_skew(spark):
+    """Megasite-skew guarantee: on a one-hot-host fixture the salted
+    two-phase cap (a) reproduces the plain single-window result exactly
+    and (b) bounds the phase-2 input to <= n_salts * K rows per host —
+    no task ever sorts the megasite's full page set."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from page_segmentation_spark.functions.text import (
+        _host_cap_candidates,
+        host_cap,
+        url_host,
+    )
+
+    k, n_salts = 7, 8
+    urls = [f"https://mega.test/p{i:05d}" for i in range(2000)] + [
+        f"https://tiny{j}.test/p{i}" for j in range(5) for i in range(3)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+
+    got = sorted(
+        (r["url"], r["host_rank"])
+        for r in host_cap(df, "url", k, n_salts=n_salts).collect()
+    )
+    w = Window.partitionBy("host").orderBy(F.col("url").asc())
+    exact = sorted(
+        (r["url"], r["host_rank"])
+        for r in df.select(
+            "url", url_host(F.col("url")).alias("host")
+        )
+        .withColumn("host_rank", F.row_number().over(w))
+        .where(F.col("host_rank") <= k)
+        .collect()
+    )
+    assert got == exact
+
+    surv = (
+        _host_cap_candidates(df, "url", k, n_salts)
+        .groupBy("host")
+        .count()
+        .collect()
+    )
+    assert max(r["count"] for r in surv) <= n_salts * k
+    # phase 1 genuinely splits the hot host across salt partitions
+    plan = (
+        host_cap(df, "url", k, n_salts=n_salts)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "__salt" in plan
 
 
 def test_build_training_corpus_neardup(spark):
