@@ -320,6 +320,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): coarse-cluster the embedding corpus, then mark as
@@ -333,7 +334,16 @@ def semantic_dedup(
     (one hash shuffle keyed by ``list_id``) so the quadratic term is
     bounded by the largest CLUSTER, never the corpus — exactly the
     SemDeDup recipe for 10^9+ corpora (k is chosen so clusters fit an
-    executor; skewed clusters can be salted with operators/skew.py).
+    executor).  A DEGENERATE quantizer (one hot cluster — untrained
+    centroids on clumped data) re-quadratizes the pair stage on a single
+    reduce task; ``max_cluster_size`` guards it: clusters larger than
+    the cap salt-split their self-join — each member carries a
+    deterministic salt in [0, ceil(size/cap)), the candidate (lower-id)
+    side replicates once per salt, and the join keys on
+    (list_id, salt), so a hot cluster becomes ceil(size/cap) reduce
+    tasks with ~cap probe rows each while the pair SET (and hence the
+    output) is unchanged — the same two-phase discipline as
+    operators/skew.two_phase_agg, applied to a self-join.
     Deterministic coarse quantizer: centroids default to the embeddings
     of the first ``n_centroids`` ids (fixed anchors, same convention as
     :func:`ivf_topk`); pass ``centroids`` (a (list_id, cvec) table, e.g.
@@ -363,9 +373,43 @@ def semantic_dedup(
         F.col(vec_col).alias("bvec"),
         F.col("list_id").alias("blist"),
     )
+    if max_cluster_size is None:
+        cand = a.join(
+            b, (F.col("alist") == F.col("blist")) & (F.col("bid") < F.col("aid"))
+        )
+    else:
+        # per-cluster salt count: ceil(size / cap); size-1 clusters get 1
+        sizes = assigned.groupBy("list_id").agg(
+            F.ceil(
+                F.count(F.lit(1)) / F.lit(max_cluster_size)
+            ).cast("int").alias("n_salts_c")
+        )
+        a2 = a.join(
+            F.broadcast(sizes), F.col("alist") == F.col("list_id")
+        ).select(
+            "aid", "avec", "alist",
+            F.pmod(
+                F.crc32(F.col("aid").cast("string")), F.col("n_salts_c")
+            ).cast("int").alias("asalt"),
+        )
+        b2 = b.join(
+            F.broadcast(sizes), F.col("blist") == F.col("list_id")
+        ).select(
+            "bid", "bvec", "blist",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_salts_c") - 1)
+            ).alias("bsalt"),
+        )
+        cand = a2.join(
+            b2,
+            (F.col("alist") == F.col("blist"))
+            & (F.col("asalt") == F.col("bsalt"))
+            & (F.col("bid") < F.col("aid")),
+        )
     dup = (
-        a.join(b, (F.col("alist") == F.col("blist")) & (F.col("bid") < F.col("aid")))
-        .where(F.round(cosine(F.col("avec"), F.col("bvec")), 6) >= threshold)
+        cand.where(
+            F.round(cosine(F.col("avec"), F.col("bvec")), 6) >= threshold
+        )
         .select(F.col("aid"))
         .distinct()
     )

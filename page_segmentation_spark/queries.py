@@ -944,9 +944,14 @@ def sim_semantic_dedup(spark, sf_dir):
     is the retained set.  The quadratic term is bounded per cluster, the
     shape that scales to 10^9+ docs (arXiv:2303.09540).  threshold=0.15
     keeps the tiny-SF check non-vacuous (random fixtures have no 0.95
-    near-dups); production uses ~0.95 with trained k-means centroids."""
+    near-dups); production uses ~0.95 with trained k-means centroids.
+    max_cluster_size=50 exercises the salt-split self-join (the skewed-
+    cluster guard) AS the gated path — the oracle is the unsalted pair
+    form, so the hash gate pins that salting changes nothing."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
-    return S.semantic_dedup(emb, n_centroids=4, threshold=0.15)
+    return S.semantic_dedup(
+        emb, n_centroids=4, threshold=0.15, max_cluster_size=50
+    )
 
 
 @_q(

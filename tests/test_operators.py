@@ -128,3 +128,35 @@ def test_semantic_dedup_below_threshold_keeps_all(spark):
     )
     out = semantic_dedup(df, n_centroids=2, threshold=0.999)
     assert [r["keep"] for r in out.orderBy("vec_id").collect()] == [1, 1, 1]
+
+
+def test_semantic_dedup_salted_matches_unsalted_on_hot_cluster(spark):
+    """Degenerate-quantizer guard: with every vector clumped near one
+    axis (ALL rows land in one cluster — the skew case that
+    re-quadratizes the pair join on one task), max_cluster_size must
+    (a) reproduce the unsalted output exactly and (b) key the pair join
+    on (list, salt) so the hot cluster spans multiple reduce keys."""
+    from page_segmentation_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (i, [1.0, 0.001 * (i % 7), 0.0005 * (i % 3)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+    base = {
+        (r["vec_id"], r["list_id"], r["keep"])
+        for r in semantic_dedup(df, n_centroids=2, threshold=0.9).collect()
+    }
+    salted_df = semantic_dedup(
+        df, n_centroids=2, threshold=0.9, max_cluster_size=10
+    )
+    salted = {
+        (r["vec_id"], r["list_id"], r["keep"])
+        for r in salted_df.collect()
+    }
+    assert salted == base
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    assert "asalt" in plan and "bsalt" in plan, plan
+    assert "CartesianProduct" not in plan, plan
