@@ -518,8 +518,131 @@ def vocab_coverage(
     )
 
 
+def sampled_rank_cutoffs(
+    df,
+    value_col: str,
+    tie_col: str,
+    fracs: tuple[tuple[int, int], ...],
+    part_cols: tuple[str, ...] = (),
+    rate: float = 0.125,
+    salt: str = "cut",
+    mode: str = "floor",
+):
+    """Scale path for global/per-stratum quantile CUTOFFS: nearest-rank
+    over a deterministic hash-sample instead of a window over the full
+    table.  A ``row_number`` with no (or a hot) partition key collapses
+    to one straggler task at 10^12 rows; sampling first bounds the sorted
+    set to ~rate*N rows while the cutoff values converge to the exact
+    quantiles (standard sample-quantile bound: error O(1/sqrt(rate*N))
+    in rank space).  The sample is the hash-threshold of
+    operators/sampling.deterministic_sample — reproducible across runs,
+    engines, and partitionings, never ``df.sample()``.
+
+    Returns one row per ``part_cols`` group (one row total if empty):
+    ``cut_1 .. cut_len(fracs)`` — the nearest-rank value at each
+    requested fraction WITHIN THE SAMPLE (ties broken on ``tie_col``).
+    ``fracs`` are exact rationals ``(num, den)`` — e.g. terciles
+    ``((1, 3), (2, 3))``, percentiles ``((25, 100), ...)`` — so the
+    rank arithmetic is integer-exact, never a float-rounded fraction.
+    ``mode`` picks the rank convention: ``"floor"`` = (m*num) div den
+    (the tercile boundary ``3r <= m``), ``"ceil"`` = the classic
+    nearest-rank ceil (the percentile audit).  With ``rate=1.0``
+    either form reproduces its exact-window twin bit-for-bit (same sort
+    keys, same rank arithmetic) — pinned by tests.
+
+    Callers broadcast-join the result and assign buckets with plain
+    comparisons; the scoring/aggregation stages need no change.  The
+    exact single-window form stays available as the oracle-checkable
+    fixture twin (the ``cutoffs="exact"`` branches)."""
+    from pyspark.sql import Window
+
+    from page_segmentation_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    samp = deterministic_sample(df, key_col=tie_col, rate=rate, salt=salt)
+    w = (
+        Window.partitionBy(*part_cols).orderBy(value_col, tie_col)
+        if part_cols
+        else Window.orderBy(value_col, tie_col)
+    )
+    w_n = Window.partitionBy(*part_cols) if part_cols else Window.partitionBy()
+    ranked = samp.select(
+        *part_cols,
+        F.col(value_col),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(w_n).alias("__m"),
+    )
+    if mode not in ("floor", "ceil"):
+        raise ValueError(f"mode must be 'floor' or 'ceil': {mode!r}")
+    cuts = [
+        F.max(
+            F.when(
+                F.col("__rn")
+                == F.expr(
+                    f"greatest(1L, (__m * {int(num)}"
+                    f" + {int(den) - 1 if mode == 'ceil' else 0})"
+                    f" div {int(den)})"
+                ),
+                F.col(value_col),
+            )
+        ).alias(f"cut_{i + 1}")
+        for i, (num, den) in enumerate(fracs)
+    ]
+    if part_cols:
+        return ranked.groupBy(*part_cols).agg(*cuts)
+    return ranked.groupBy().agg(*cuts)
+
+
+def token_quantiles_sampled(
+    df,
+    stratum_col: str,
+    id_col: str,
+    text_col: str,
+    pcts: tuple[int, ...] = (25, 50, 75, 90),
+    rate: float = 0.125,
+    salt: str = "tq",
+):
+    """Scale path of the token-count quantile audit (the exact
+    nearest-rank form lives in queries.text_token_quantiles as the
+    oracle-checkable twin): per-stratum cutoffs from a hash-sample via
+    :func:`sampled_rank_cutoffs` — the top-language stratum of a real
+    crawl holds most of the corpus, so the exact form's per-stratum
+    window is effectively a global sort; the sampled form sorts only
+    ~rate*N rows per stratum.  Counts (n_docs, max) stay exact — they
+    are plain hash aggregates, not rank statistics.
+
+    Output: (stratum, n_docs, p{pcts...}, max_tokens) — same shape as
+    the exact audit, quantile values approximate within the standard
+    sample-rank bound."""
+    t = df.select(
+        F.col(stratum_col).alias("stratum"),
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("v"),
+    )
+    cuts = sampled_rank_cutoffs(
+        t, "v", id_col, tuple((p, 100) for p in pcts),
+        part_cols=("stratum",), rate=rate, salt=salt, mode="ceil",
+    ).select(
+        "stratum",
+        *[
+            F.col(f"cut_{i + 1}").cast("long").alias(f"p{p}")
+            for i, p in enumerate(pcts)
+        ],
+    )
+    exact_aggs = t.groupBy("stratum").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("v").alias("max_tokens"),
+    )
+    return exact_aggs.join(F.broadcast(cuts), "stratum", "left").select(
+        "stratum", "n_docs", *[f"p{p}" for p in pcts], "max_tokens"
+    )
+
+
 def surprisal_buckets(df, id_col: str, text_col: str, ref=None,
-                      ref_text_col: str | None = None):
+                      ref_text_col: str | None = None,
+                      cutoffs: str = "exact",
+                      sample_rate: float = 0.125):
     """CCNet-style rarity scoring + head/middle/tail bucketing (Wenzek
     et al. 2020 §4.4 filter corpora by LM perplexity terciles; this is
     the engine-portable analog with an integer-exact score instead of a
@@ -547,11 +670,19 @@ def surprisal_buckets(df, id_col: str, text_col: str, ref=None,
     Scale shape at 10^12 docs: token explode is linear; corpus counts
     are one map-side-combined hash agg; the count join is the standard
     inverted-index equi-join keyed by token (hot stopword keys arrive
-    pre-combined); the per-doc sum is one id-keyed agg.  The global
-    tercile rank is a single-partition window over ONE ROW PER DOCUMENT
-    of (double, id) — the oracle-checkable exact form; at corpus scale
-    swap the cutoffs for sampled quantiles and keep the scoring stages
-    unchanged."""
+    pre-combined); the per-doc sum is one id-keyed agg.  Tercile
+    assignment has two code paths selected by ``cutoffs``:
+
+      * ``"exact"`` — global nearest-rank via a single-partition window
+        over one (double, id) row per document: the oracle-checkable
+        fixture form, a one-straggler-task shape at corpus scale;
+      * ``"sampled"`` — the PRODUCTION path: tercile cutoff VALUES from
+        :func:`sampled_rank_cutoffs` over a ``sample_rate``
+        hash-sample, broadcast to a value-comparison bucket assignment.
+        No global window anywhere; boundary docs whose surprisal ties
+        the sampled cutoff may bucket differently from the exact form
+        (rank ties break on id there, on value here) — the CCNet use
+        (drop/keep whole terciles) is insensitive to that boundary."""
     from pyspark.sql import Window
 
     text = F.col(text_col)
@@ -585,6 +716,23 @@ def surprisal_buckets(df, id_col: str, text_col: str, ref=None,
             "surprisal"
         ),
     )
+    if cutoffs == "sampled":
+        cuts = sampled_rank_cutoffs(
+            sc, "surprisal", id_col, ((1, 3), (2, 3)),
+            rate=sample_rate, salt="sbkt",
+        )
+        bucket = (
+            F.when(F.col("surprisal") <= F.col("cut_1"), "head")
+            .when(F.col("surprisal") <= F.col("cut_2"), "middle")
+            .otherwise("tail")
+        )
+        return sc.crossJoin(F.broadcast(cuts)).select(
+            id_col,
+            F.round("surprisal", 6).alias("surprisal"),
+            bucket.alias("bucket"),
+        )
+    if cutoffs != "exact":
+        raise ValueError(f"cutoffs must be 'exact' or 'sampled': {cutoffs!r}")
     w = Window.orderBy("surprisal", id_col)
     ranked = sc.select(
         F.col(id_col),

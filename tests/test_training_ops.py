@@ -1137,3 +1137,141 @@ def test_truncate_tokens(spark):
     assert out[0]["text"] == "one two three" and out[0]["truncated"] == 1
     assert out[0]["n_tokens_in"] == 4 and out[0]["n_tokens_out"] == 3
     assert out[1]["text"] == "a b c" and out[1]["truncated"] == 0
+
+
+def test_sampled_rank_cutoffs_rate1_matches_window_ranks(spark):
+    """rate=1.0 identity on distinct values: the helper's floor/ceil
+    rank arithmetic must reproduce a hand-computed nearest-rank over the
+    full set — pins the integer-rational cutoff math for both modes."""
+    from page_segmentation_spark.functions.text import sampled_rank_cutoffs
+
+    vals = sorted({(i * 37) % 101 for i in range(101)})  # 101 distinct
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "id long, v double"
+    )
+    m = len(vals)
+    floor_cuts = sampled_rank_cutoffs(
+        df, "v", "id", ((1, 3), (2, 3)), rate=1.0, mode="floor"
+    ).collect()[0]
+    assert floor_cuts["cut_1"] == vals[max(1, (m * 1) // 3) - 1]
+    assert floor_cuts["cut_2"] == vals[max(1, (m * 2) // 3) - 1]
+    ceil_cuts = sampled_rank_cutoffs(
+        df, "v", "id", ((25, 100), (90, 100)), rate=1.0, mode="ceil"
+    ).collect()[0]
+    assert ceil_cuts["cut_1"] == vals[-(-m * 25 // 100) - 1]
+    assert ceil_cuts["cut_2"] == vals[-(-m * 90 // 100) - 1]
+
+
+def test_surprisal_sampled_rate1_matches_exact_up_to_ties(spark):
+    """With rate=1.0 the sampled path reproduces the exact terciles for
+    every document whose surprisal value maps to a SINGLE exact bucket
+    (value-threshold and rank-threshold can only differ where one value
+    straddles a tercile boundary — rank ties break on id there)."""
+    from page_segmentation_spark.functions.text import surprisal_buckets
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    exact = {
+        r["doc_id"]: (r["surprisal"], r["bucket"])
+        for r in surprisal_buckets(d, "doc_id", "text").collect()
+    }
+    by_val = {}
+    for _id, (v, b) in exact.items():
+        by_val.setdefault(v, set()).add(b)
+    unambiguous = {k for k, (v, _b) in exact.items() if len(by_val[v]) == 1}
+    assert len(unambiguous) >= 0.95 * len(exact)  # fixture sanity
+    sampled = {
+        r["doc_id"]: (r["surprisal"], r["bucket"])
+        for r in surprisal_buckets(
+            d, "doc_id", "text", cutoffs="sampled", sample_rate=1.0
+        ).collect()
+    }
+    assert sampled.keys() == exact.keys()
+    for k in unambiguous:
+        assert sampled[k] == exact[k], (k, sampled[k], exact[k])
+
+
+def test_surprisal_sampled_is_close_and_windowless(spark):
+    """At rate=0.5 the sampled terciles must agree with the exact form
+    on the large majority of documents, and the full-corpus branch of
+    the plan must carry NO window at all (the whole point: the only
+    row_number sorts the sample)."""
+    from page_segmentation_spark.functions.text import surprisal_buckets
+
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").select(
+        "doc_id", "text"
+    )
+    exact = {
+        r["doc_id"]: r["bucket"]
+        for r in surprisal_buckets(d, "doc_id", "text").collect()
+    }
+    out = surprisal_buckets(
+        d, "doc_id", "text", cutoffs="sampled", sample_rate=0.5
+    )
+    sampled = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    assert sampled.keys() == exact.keys()
+    agree = sum(1 for k in exact if sampled[k] == exact[k])
+    assert agree / len(exact) >= 0.9, (agree, len(exact))
+    # bucket sizes stay near-tercile
+    from collections import Counter
+
+    c = Counter(sampled.values())
+    n = len(sampled)
+    for b in ("head", "middle", "tail"):
+        assert abs(c[b] - n / 3) <= 0.15 * n, c
+    # the window must sit on the sampled branch only: the plan has one
+    # Window and it is fed by the hash-threshold Filter
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 1
+    import re
+
+    widx = plan.index("Window")
+    tail_of_window_subtree = plan[widx:]
+    assert re.search(r"Filter.*md5", tail_of_window_subtree, re.S) or (
+        "conv(" in tail_of_window_subtree
+    ), plan
+
+
+def test_token_quantiles_sampled_rate1_matches_exact_audit(spark):
+    """token_quantiles_sampled at rate=1.0 reproduces the exact audit
+    (queries.text_token_quantiles) value-for-value; at rate=0.5 the
+    quantiles stay within a tolerance band while n_docs/max stay exact."""
+    from page_segmentation_spark.functions.text import (
+        token_quantiles_sampled,
+    )
+    from page_segmentation_spark.queries import QUERIES
+
+    exact = {
+        r["lang"]: r.asDict()
+        for r in QUERIES["text_token_quantiles"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    d = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    full = {
+        r["stratum"]: r.asDict()
+        for r in token_quantiles_sampled(
+            d, "lang", "doc_id", "text", rate=1.0
+        ).collect()
+    }
+    assert full.keys() == exact.keys()
+    for lang, e in exact.items():
+        s = full[lang]
+        assert s["n_docs"] == e["n_docs"]
+        assert s["max_tokens"] == e["max_tokens"]
+        for p in ("p25", "p50", "p75", "p90"):
+            assert s[p] == e[p], (lang, p, s[p], e[p])
+    half = {
+        r["stratum"]: r.asDict()
+        for r in token_quantiles_sampled(
+            d, "lang", "doc_id", "text", rate=0.5
+        ).collect()
+    }
+    for lang, e in exact.items():
+        s = half[lang]
+        assert s["n_docs"] == e["n_docs"]
+        assert s["max_tokens"] == e["max_tokens"]
+        for p in ("p25", "p50", "p75", "p90"):
+            # sampled rank error: stay within 20% of the exact value
+            assert abs(s[p] - e[p]) <= max(2, 0.2 * e[p]), (lang, p, s, e)
