@@ -215,6 +215,123 @@ def cut_spans(
     return spans
 
 
+def cut_spans_xycut(
+    nodes: List[Dict[str, Any]],
+    voted: List[int],
+    settings: ExtractSettings,
+    char_med: float,
+) -> List[Tuple[int, int, int]]:
+    """Single-document twin of :func:`operators.spans.xycut_spans` (W3,
+    reference lib/xycut.py:127-173): kept gaps = maximal zero-runs of the
+    indicator with length >= split_size (border runs included); segments
+    = maximal runs outside kept gaps (short gaps swallowed); keep
+    segments with length > px_threshold AND at least one main node.
+    Spans cover the FULL segment extent (not main-trimmed — mirror of
+    the Spark form's min/max(node_idx) over the segment)."""
+    n = len(nodes)
+    if n == 0:
+        return []
+    split_size, _ = derive_thresholds(char_med)
+    px_threshold = settings.min_main_nodes
+    ind = [
+        1 if (voted[i] == CLS_MAIN and nodes[i]["is_fg"]) else 0
+        for i in range(n)
+    ]
+    in_kept_gap = [False] * n
+    i = 0
+    while i < n:
+        if ind[i] == 0:
+            j = i
+            while j < n and ind[j] == 0:
+                j += 1
+            if j - i >= split_size:
+                for k in range(i, j):
+                    in_kept_gap[k] = True
+            i = j
+        else:
+            i += 1
+    spans: List[Tuple[int, int, int]] = []
+    i = 0
+    while i < n:
+        if not in_kept_gap[i]:
+            j = i
+            while j < n and not in_kept_gap[j]:
+                j += 1
+            span_main = sum(ind[i:j])
+            if (j - i) > px_threshold and span_main > 0:
+                spans.append((i, j - 1, span_main))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+def _wmax(vals: List[int], r: int) -> List[int]:
+    """Clipped windowed max over ±r (rowsBetween(-r, r) semantics)."""
+    n = len(vals)
+    return [
+        max(vals[max(0, i - r): min(n, i + r + 1)]) for i in range(n)
+    ]
+
+
+def _wmin(vals: List[int], r: int) -> List[int]:
+    n = len(vals)
+    return [
+        min(vals[max(0, i - r): min(n, i + r + 1)]) for i in range(n)
+    ]
+
+
+def cut_spans_morphological(
+    nodes: List[Dict[str, Any]],
+    voted: List[int],
+    settings: ExtractSettings,
+    char_med: float,
+) -> List[Tuple[int, int, int]]:
+    """Single-document twin of
+    :func:`operators.spans.morphological_spans` (P16, reference
+    lib/pc_segmentation.py:70-116): close(k1) -> open(k_open) ->
+    dilate(k1)+close(k1) over the indicator; runs of the result become
+    spans (full run extents) kept when they hold >= min_main raw main
+    nodes.  Kernel widths are the Spark form's constants (k1=2,
+    k_open=1)."""
+    n = len(nodes)
+    if n == 0:
+        return []
+    min_main = settings.min_main_nodes
+    k1, k_open = 2, 1
+    ind = [
+        1 if (voted[i] == CLS_MAIN and nodes[i]["is_fg"]) else 0
+        for i in range(n)
+    ]
+    m1 = _wmin(_wmax(ind, k1), k1)                       # close
+    m2 = _wmax(_wmin(m1, k_open), k_open)                # open
+    m3 = _wmin(_wmax(_wmax(m2, k1), k1), k1)             # dilate + close
+    spans: List[Tuple[int, int, int]] = []
+    i = 0
+    while i < n:
+        if m3[i] == 1:
+            j = i
+            while j < n and m3[j] == 1:
+                j += 1
+            span_main = sum(ind[i:j])
+            if span_main >= min_main:
+                spans.append((i, j - 1, span_main))
+            i = j
+        else:
+            i += 1
+    return spans
+
+
+#: single-document twins of operators.spans.SPAN_FORMERS — keys must
+#: match (pinned by tests/test_extract_fused.py fused-vs-declarative
+#: identity across every registered former).
+SPAN_CUTTERS = {
+    "default": cut_spans,
+    "xycut": cut_spans_xycut,
+    "morphological": cut_spans_morphological,
+}
+
+
 def extract_document(
     html: bytes | str, settings: ExtractSettings | None = None
 ) -> Dict[str, Any]:
@@ -231,7 +348,7 @@ def extract_document(
     preds, med = score_nodes(nodes, arch)
     if "cc_majority" in settings.post_process:
         preds = cc_majority_vote(nodes, preds)
-    spans = cut_spans(nodes, preds, settings, med)
+    spans = SPAN_CUTTERS[settings.span_former](nodes, preds, settings, med)
     texts: List[str] = []
     for (s, e, _c) in spans:
         for k in range(s, e + 1):

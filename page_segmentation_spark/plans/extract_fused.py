@@ -77,14 +77,18 @@ def extract_fused(
 ) -> DataFrame:
     """Fused single-stage extraction -> (url, extracted_text, spans,
     n_nodes), byte-identical to :func:`plans.extract.extract` for the
-    same settings.  Supports every architecture; span formation is the
-    default ``cut_spans`` chain (the oracle's) — the registry's
-    alternate span formers remain declarative-plan-only."""
+    same settings.  Supports every architecture AND every registered
+    span former: the shared single-document chain dispatches through
+    ``oracle.SPAN_CUTTERS`` (default / xycut / morphological — the
+    single-doc twins of operators.spans.SPAN_FORMERS), so the crawl
+    path accepts the same configs as the declarative plan."""
+    from page_segmentation_spark.oracle import SPAN_CUTTERS
+
     settings = settings or ExtractSettings()
-    if settings.span_former != "default":
+    if settings.span_former not in SPAN_CUTTERS:
         raise ValueError(
-            "extract_fused implements the default 'spans' former; use "
-            "plans.extract.extract for alternate span formers"
+            f"unknown span_former {settings.span_former!r}: "
+            f"{sorted(SPAN_CUTTERS)}"
         )
     pruned = pages.select("url", "html")
 

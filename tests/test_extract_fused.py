@@ -71,10 +71,45 @@ def test_plan_has_zero_exchange(spark):
     assert "Sort" not in plan
 
 
-def test_non_default_span_former_rejected(spark):
+def test_unknown_span_former_rejected(spark):
     pages = pages_df(spark, 3, partitions=1)
     with pytest.raises(ValueError):
-        extract_fused(pages, ExtractSettings(span_former="xycut"))
+        extract_fused(pages, ExtractSettings(span_former="nope"))
+
+
+@pytest.mark.parametrize("former", ["default", "xycut", "morphological"])
+def test_value_identity_every_span_former(spark, former):
+    """Fused-plan parity across the whole span-former registry: the
+    single-doc cutters (oracle.SPAN_CUTTERS) must reproduce the
+    declarative operators byte-for-byte, including on hostile shapes."""
+    from page_segmentation_spark import datagen as dg
+    from page_segmentation_spark.datagen import PAGES_SCHEMA
+
+    s = ExtractSettings(span_former=former)
+    pages = pages_df(spark, 60, partitions=2).cache()
+    try:
+        assert _rows(extract(pages, s)) == _rows(extract_fused(pages, s))
+    finally:
+        pages.unpersist()
+    rows = [
+        dg.hostile_page(shape, i)
+        for i, shape in enumerate(
+            ("comments", "template", "split_article", "link_dense",
+             "cookie_banner", "pagination", "span_soup", "table_layout")
+        )
+    ]
+    hostile = spark.createDataFrame(rows, PAGES_SCHEMA).cache()
+    try:
+        assert _rows(extract(hostile, s)) == _rows(extract_fused(hostile, s))
+    finally:
+        hostile.unpersist()
+
+
+def test_span_cutter_registry_matches_span_formers():
+    from page_segmentation_spark.operators.spans import SPAN_FORMERS
+    from page_segmentation_spark.oracle import SPAN_CUTTERS
+
+    assert set(SPAN_CUTTERS) == set(SPAN_FORMERS)
 
 
 def test_architecture_parameter_respected(spark):
