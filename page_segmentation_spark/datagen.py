@@ -863,55 +863,81 @@ def _enc_sbox() -> bytes:
 
 
 _ENC_SBOX = _enc_sbox()
+#: GF(2^8) x2 / x3 lookup tables — MixColumns runs 32 multiplies per
+#: round and the 2.B password hash encrypts ~10^4 blocks per file, so
+#: the peasant-loop _enc_mul must not sit in that hot path.
+_ENC_MUL2 = bytes(_enc_mul(x, 2) for x in range(256))
+_ENC_MUL3 = bytes(_enc_mul(x, 3) for x in range(256))
 
 
 def _enc_round_keys(key: bytes) -> List[bytes]:
-    """AES-128 schedule over big-endian 32-bit words; round key r is
-    its four words' bytes concatenated (column-major, like the state)."""
-    w = [int.from_bytes(key[i: i + 4], "big") for i in range(0, 16, 4)]
+    """AES schedule (128- or 256-bit key by length) over big-endian
+    32-bit words; round key r is its four words' bytes concatenated
+    (column-major, like the state).  Nk=8 inserts the extra SubWord at
+    ``i % 8 == 4`` per FIPS-197."""
+    nk = len(key) // 4
+    nr = nk + 6
+    w = [int.from_bytes(key[i: i + 4], "big") for i in range(0, len(key), 4)]
     rc = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (nr + 1)):
         t = w[i - 1]
-        if i % 4 == 0:
+        if i % nk == 0:
             t = ((t << 8) | (t >> 24)) & 0xFFFFFFFF  # RotWord
             t = int.from_bytes(
                 bytes(_ENC_SBOX[x] for x in t.to_bytes(4, "big")), "big"
             )  # SubWord
             t ^= rc << 24
             rc = _enc_mul(rc, 2)
-        w.append(w[i - 4] ^ t)
+        elif nk > 6 and i % nk == 4:
+            t = int.from_bytes(
+                bytes(_ENC_SBOX[x] for x in t.to_bytes(4, "big")), "big"
+            )
+        w.append(w[i - nk] ^ t)
     return [
         b"".join(w[4 * r + c].to_bytes(4, "big") for c in range(4))
-        for r in range(11)
+        for r in range(nr + 1)
     ]
 
 
+#: ShiftRows source index for flat 4*col+row: target 4c+r reads 4((c+r)%4)+r.
+_ENC_SHIFT = tuple(4 * ((c + r) % 4) + r for c in range(4) for r in range(4))
+
+
 def _enc_block(rks: List[bytes], block: bytes) -> bytes:
-    """Forward cipher on one 16-byte block (state flat index 4*col+row)."""
-    s = bytearray(a ^ b for a, b in zip(block, rks[0]))
-    for rnd in range(1, 11):
-        s = bytearray(_ENC_SBOX[x] for x in s)  # SubBytes
-        s = bytearray(  # ShiftRows: row r rotates LEFT by r
-            s[4 * ((c + r) % 4) + r] for c in range(4) for r in range(4)
-        )
-        if rnd < 10:  # MixColumns
+    """Forward cipher on one 16-byte block (state flat index 4*col+row).
+    SubBytes/GF-multiplies run through C-speed bytes.translate and
+    AddRoundKey through one 128-bit int XOR — the 2.B password hash
+    (encrypt_pdf v=5) pushes ~10^4 sequential blocks through here."""
+    rki = [int.from_bytes(rk, "big") for rk in rks]
+    s = (int.from_bytes(block, "big") ^ rki[0]).to_bytes(16, "big")
+    nr = len(rks) - 1
+    for rnd in range(1, nr + 1):
+        sub = s.translate(_ENC_SBOX)  # SubBytes
+        s = bytes(map(sub.__getitem__, _ENC_SHIFT))  # ShiftRows
+        if rnd < nr:  # MixColumns (table-driven GF multiplies)
+            t2 = s.translate(_ENC_MUL2)
+            t3 = s.translate(_ENC_MUL3)
             t = bytearray(16)
-            for c in range(4):
-                a0, a1, a2, a3 = s[4 * c: 4 * c + 4]
-                t[4 * c + 0] = _enc_mul(a0, 2) ^ _enc_mul(a1, 3) ^ a2 ^ a3
-                t[4 * c + 1] = a0 ^ _enc_mul(a1, 2) ^ _enc_mul(a2, 3) ^ a3
-                t[4 * c + 2] = a0 ^ a1 ^ _enc_mul(a2, 2) ^ _enc_mul(a3, 3)
-                t[4 * c + 3] = _enc_mul(a0, 3) ^ a1 ^ a2 ^ _enc_mul(a3, 2)
-            s = t
-        s = bytearray(x ^ k for x, k in zip(s, rks[rnd]))
-    return bytes(s)
+            for c in range(0, 16, 4):
+                t[c + 0] = t2[c] ^ t3[c + 1] ^ s[c + 2] ^ s[c + 3]
+                t[c + 1] = s[c] ^ t2[c + 1] ^ t3[c + 2] ^ s[c + 3]
+                t[c + 2] = s[c] ^ s[c + 1] ^ t2[c + 2] ^ t3[c + 3]
+                t[c + 3] = t3[c] ^ s[c + 1] ^ s[c + 2] ^ t2[c + 3]
+            s = bytes(t)
+        s = (int.from_bytes(s, "big") ^ rki[rnd]).to_bytes(16, "big")
+    return s
 
 
-def _enc_aes_cbc(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """AES-128-CBC with PKCS#7 padding (always 1..16 pad bytes);
-    returns ciphertext only — callers prepend the IV per AESV2."""
-    pad = 16 - (len(data) % 16)
-    data = data + bytes((pad,)) * pad
+def _enc_aes_cbc(
+    key: bytes, iv: bytes, data: bytes, pad: bool = True
+) -> bytes:
+    """AES-CBC (128/256 by key length) with PKCS#7 padding (always
+    1..16 pad bytes; ``pad=False`` = whole blocks only, the /UE//OE
+    shape); returns ciphertext only — callers prepend the IV per
+    AESV2/AESV3."""
+    if pad:
+        padding = 16 - (len(data) % 16)
+        data = data + bytes((padding,)) * padding
     rks = _enc_round_keys(key)
     out = bytearray()
     prev = iv
@@ -923,6 +949,60 @@ def _enc_aes_cbc(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+def _walk_pdf_objects(pdf: bytes):
+    """Payload-aware object walk: yields (header_match, payload_start,
+    payload_len) with payload_* None for stream-less objects.  A naive
+    global ``N G obj`` regex scan can match BINARY bytes inside a
+    Flate payload (doc 7's compressed stream happens to contain one) —
+    this walker skips each declared /Length worth of payload before
+    resuming the scan, so only real headers match."""
+    import re as _re
+
+    obj_re = _re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+    pos = 0
+    n = len(pdf)
+    while pos < n:
+        m = obj_re.search(pdf, pos)
+        if m is None:
+            return
+        end_at = pdf.find(b"endobj", m.end())
+        probe_end = end_at if end_at >= 0 else n
+        ms = _re.search(rb"stream\r?\n", pdf[m.end(): probe_end])
+        if ms:
+            mlen = _re.search(
+                rb"/Length\s+(\d+)\b", pdf[m.end(): m.end() + ms.start()]
+            )
+            if mlen:
+                start = m.end() + ms.end()
+                ln = int(mlen.group(1))
+                yield m, start, ln
+                pos = start + ln
+                continue
+        yield m, None, None
+        pos = m.end()
+
+
+def _enc_hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """datagen's own ISO 32000-2 Algorithm 2.B (the /R 6 password
+    hash) — independent of pdf_parse._hash_2b per the crypt
+    cross-validation rule; the round-trip tests catch a one-sided
+    bug."""
+    import hashlib
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    rnd = 0
+    while True:
+        block = (pwd + k + udata) * 64
+        e = _enc_aes_cbc(k[:16], k[16:32], block, pad=False)
+        digest = {
+            0: hashlib.sha256, 1: hashlib.sha384, 2: hashlib.sha512
+        }[sum(e[:16]) % 3]
+        k = digest(e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
 def encrypt_pdf(
     pdf: bytes,
     v: int = 2,
@@ -932,6 +1012,8 @@ def encrypt_pdf(
     perms: int = -44,
     file_id: bytes = bytes.fromhex("00112233445566778899aabbccddeeff"),
     enc_onum: int = 90,
+    encrypt_metadata: bool = True,
+    id_literal: bool = False,
 ) -> bytes:
     """Encrypt every stream payload of a datagen-built PDF under the
     standard security handler with an EMPTY user password (the
@@ -943,15 +1025,35 @@ def encrypt_pdf(
     min(len+5, 16).  Streams are located by walking ``N G obj`` headers
     and slicing each payload by its dict's direct ``/Length`` (always
     direct in datagen builders); RC4 preserves length so declared
-    lengths and xref offsets stay valid."""
+    lengths and xref offsets stay valid.
+
+    v=5 (with r=5 or 6) selects the AES-256 /CFM /AESV3 handler (ISO
+    32000-2): a deterministic 32-byte file key is wrapped in /U //UE
+    (and /O //OE, /Perms) via Algorithm 8/9/10 with EMPTY passwords,
+    and objects encrypt under the file key directly.
+
+    ``encrypt_metadata=False`` (meaningful for r >= 4) appends the
+    Algorithm-2 FF FF FF FF suffix to the key md5 and emits
+    /EncryptMetadata false; ``id_literal=True`` writes the trailer /ID
+    as literal strings ``(...)`` instead of hex — both exist to pin the
+    decryptor's corresponding branches."""
     import hashlib
     import re as _re
+
+    if v == 5:
+        file_key = hashlib.sha256(b"datagen-aes256-fk:" + file_id).digest()
+        return _encrypt_pdf_aes(
+            pdf, file_key, owner_entry, perms, file_id, enc_onum,
+            v5_r=r if r in (5, 6) else 6, id_literal=id_literal,
+        )
 
     h = hashlib.md5()
     h.update(_ENC_PAD)
     h.update(owner_entry[:32])
     h.update((perms & 0xFFFFFFFF).to_bytes(4, "little"))
     h.update(file_id)
+    if r >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")  # Algorithm 2 step f
     key = h.digest()
     n = nbits // 8 if r >= 3 else 5
     n = max(5, min(n, 16))
@@ -962,24 +1064,14 @@ def encrypt_pdf(
 
     if v == 4:  # /CFM /AESV2: lengths change, so re-serialize
         return _encrypt_pdf_aes(
-            pdf, file_key, owner_entry, perms, file_id, enc_onum
+            pdf, file_key, owner_entry, perms, file_id, enc_onum,
+            encrypt_metadata=encrypt_metadata, id_literal=id_literal,
         )
 
     out = bytearray(pdf)
-    headers = list(_re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", pdf))
-    for k, hm in enumerate(headers):
-        span_end = (
-            headers[k + 1].start() if k + 1 < len(headers) else len(pdf)
-        )
-        span = pdf[hm.end(): span_end]
-        ms = _re.search(rb"stream\r?\n", span)
-        if not ms:
+    for hm, start, ln in _walk_pdf_objects(pdf):
+        if start is None:
             continue
-        mlen = _re.search(rb"/Length\s+(\d+)\b", span[: ms.start()])
-        if not mlen:
-            continue
-        start = hm.end() + ms.end()
-        ln = int(mlen.group(1))
         payload = pdf[start: start + ln]
         onum, gen = int(hm.group(1)), int(hm.group(2))
         ok = hashlib.md5(
@@ -989,14 +1081,28 @@ def encrypt_pdf(
         ).digest()[: min(n + 5, 16)]
         out[start: start + ln] = _enc_rc4(ok, payload)
 
+    id_entry = _id_array_entry(file_id, id_literal)
     tail = (
         f"{enc_onum} 0 obj\n<< /Filter /Standard /V {v} /R {r} "
         f"/O <{owner_entry.hex()}> /U <{owner_entry.hex()}> "
         f"/P {perms} /Length {nbits} >>\nendobj\n"
         f"trailer\n<< /Encrypt {enc_onum} 0 R "
-        f"/ID [<{file_id.hex()}> <{file_id.hex()}>] >>\n%%EOF\n"
-    ).encode("ascii")
+        f"/ID {id_entry} >>\n%%EOF\n"
+    ).encode("latin-1")  # literal /ID carries raw bytes
     return bytes(out) + tail
+
+
+def _id_array_entry(file_id: bytes, id_literal: bool) -> str:
+    """Trailer /ID array in hex (default) or literal-string form; the
+    literal form escapes the three PDF string specials."""
+    if not id_literal:
+        return f"[<{file_id.hex()}> <{file_id.hex()}>]"
+    esc = (
+        file_id.replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
+    ).decode("latin-1")
+    return f"[({esc}) ({esc})]"
 
 
 def _encrypt_pdf_aes(
@@ -1006,21 +1112,72 @@ def _encrypt_pdf_aes(
     perms: int,
     file_id: bytes,
     enc_onum: int,
+    v5_r: int | None = None,
+    encrypt_metadata: bool = True,
+    id_literal: bool = False,
 ) -> bytes:
-    """AESV2 (/V 4 /R 4) encryption of a datagen-built PDF.  Unlike
-    RC4, AES grows every payload (16-byte IV prefix + PKCS#7 padding),
-    so this RE-SERIALIZES the document — each stream's direct /Length
-    is patched to the ciphertext length and a fresh xref table +
-    trailer replace the original tail (real encryption tools rewrite
-    the xref for the same reason).  Per-object keys follow 7.6.2 with
-    the AESV2 b"sAlT" suffix; IVs are deterministic digests of the
+    """AESV2 (/V 4 /R 4) or — with ``v5_r`` set — AESV3 (/V 5 /R 5-6)
+    encryption of a datagen-built PDF.  Unlike RC4, AES grows every
+    payload (16-byte IV prefix + PKCS#7 padding), so this RE-SERIALIZES
+    the document — each stream's direct /Length is patched to the
+    ciphertext length and a fresh xref table + trailer replace the
+    original tail (real encryption tools rewrite the xref for the same
+    reason).  AESV2 per-object keys follow 7.6.2 with the b"sAlT"
+    suffix; AESV3 objects encrypt under the 32-byte FILE key directly,
+    wrapped for the empty user/owner passwords in /U //UE //O //OE
+    //Perms per ISO 32000-2 Algorithms 8/9/10 (R 6 hash = 2.B; the
+    draft R 5 = single SHA-256).  IVs are deterministic digests of the
     object number + /ID so datagen output is reproducible.  Scope:
     direct /Length table-xref or xref-less datagen files (the only
     shapes datagen emits for this path)."""
     import hashlib
     import re as _re
 
-    headers = list(_re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", pdf))
+    def _h6(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+        if v5_r == 5:
+            return hashlib.sha256(pwd + salt + udata).digest()
+        return _enc_hash_2b(pwd, salt, udata)
+
+    if v5_r is not None:
+        vsalt = hashlib.md5(b"dg-vs" + file_id).digest()[:8]
+        ksalt = hashlib.md5(b"dg-ks" + file_id).digest()[:8]
+        u48 = _h6(b"", vsalt) + vsalt + ksalt
+        ue = _enc_aes_cbc(_h6(b"", ksalt), bytes(16), file_key, pad=False)
+        ovsalt = hashlib.md5(b"dg-ovs" + file_id).digest()[:8]
+        oksalt = hashlib.md5(b"dg-oks" + file_id).digest()[:8]
+        o48 = _h6(b"", ovsalt, u48) + ovsalt + oksalt
+        oe = _enc_aes_cbc(
+            _h6(b"", oksalt, u48), bytes(16), file_key, pad=False
+        )
+        perms_block = (
+            (perms & 0xFFFFFFFF).to_bytes(4, "little")
+            + b"\xff\xff\xff\xff" + b"T" + b"adb" + b"dgen"
+        )
+        perms_ct = _enc_aes_cbc(
+            file_key, bytes(16), perms_block, pad=False
+        )  # ECB == CBC with a zero IV for one block
+        enc_dict = (
+            f"{enc_onum} 0 obj\n<< /Filter /Standard /V 5 /R {v5_r} "
+            f"/Length 256 "
+            f"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            f"/StmF /StdCF /StrF /StdCF "
+            f"/O <{o48.hex()}> /OE <{oe.hex()}> "
+            f"/U <{u48.hex()}> /UE <{ue.hex()}> "
+            f"/Perms <{perms_ct.hex()}> "
+            f"/P {perms} >>\nendobj\n"
+        ).encode("ascii")
+    else:
+        em = "" if encrypt_metadata else "/EncryptMetadata false "
+        enc_dict = (
+            f"{enc_onum} 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            f"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            f"/StmF /StdCF /StrF /StdCF {em}"
+            f"/O <{owner_entry.hex()}> /U <{owner_entry.hex()}> "
+            f"/P {perms} >>\nendobj\n"
+        ).encode("ascii")
+
+    entries = list(_walk_pdf_objects(pdf))
+    headers = [hm for hm, _s, _l in entries]
     if not headers:
         return pdf
     # the original tail (xref table and/or trailer) is rebuilt, not
@@ -1038,7 +1195,7 @@ def _encrypt_pdf_aes(
 
     out = bytearray(pdf[: headers[0].start()])
     offsets: Dict[int, int] = {}
-    for k, hm in enumerate(headers):
+    for k, (hm, abs_start, ln) in enumerate(entries):
         span_end = (
             headers[k + 1].start() if k + 1 < len(headers) else tail_at
         )
@@ -1046,22 +1203,23 @@ def _encrypt_pdf_aes(
         offsets[onum] = len(out)
         span = pdf[hm.start(): span_end]
         rel = hm.end() - hm.start()
-        ms = _re.search(rb"stream\r?\n", span)
-        mlen = ms and _re.search(
-            rb"/Length\s+(\d+)\b", span[rel: ms.start()]
-        )
-        if not ms or not mlen:
+        if abs_start is None:
             out += span
             continue
-        ln = int(mlen.group(1))
-        start = ms.end()
+        start = abs_start - hm.start()
+        mlen = _re.search(
+            rb"/Length\s+(\d+)\b", span[rel: start]
+        )
         payload = span[start: start + ln]
-        okey = hashlib.md5(
-            file_key
-            + onum.to_bytes(3, "little")
-            + gen.to_bytes(2, "little")
-            + b"sAlT"
-        ).digest()[: min(len(file_key) + 5, 16)]
+        if v5_r is not None:
+            okey = file_key  # AESV3: the file key IS the object key
+        else:
+            okey = hashlib.md5(
+                file_key
+                + onum.to_bytes(3, "little")
+                + gen.to_bytes(2, "little")
+                + b"sAlT"
+            ).digest()[: min(len(file_key) + 5, 16)]
         iv = hashlib.md5(
             b"datagen-iv" + onum.to_bytes(4, "big") + file_id
         ).digest()
@@ -1072,13 +1230,7 @@ def _encrypt_pdf_aes(
         out += ct + span[start + ln:]
 
     offsets[enc_onum] = len(out)
-    out += (
-        f"{enc_onum} 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
-        f"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
-        f"/StmF /StdCF /StrF /StdCF "
-        f"/O <{owner_entry.hex()}> /U <{owner_entry.hex()}> "
-        f"/P {perms} >>\nendobj\n"
-    ).encode("ascii")
+    out += enc_dict
     xref_at = len(out)
     max_obj = max(offsets)
     lines = ["xref", f"0 {max_obj + 1}", "0000000000 65535 f "]
@@ -1092,9 +1244,9 @@ def _encrypt_pdf_aes(
     out += (
         f"trailer\n<< /Size {max_obj + 1}{root} "
         f"/Encrypt {enc_onum} 0 R "
-        f"/ID [<{file_id.hex()}> <{file_id.hex()}>] >>\n"
+        f"/ID {_id_array_entry(file_id, id_literal)} >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
-    ).encode("ascii")
+    ).encode("latin-1")  # literal /ID carries raw bytes
     return bytes(out)
 
 

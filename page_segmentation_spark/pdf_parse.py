@@ -48,18 +48,22 @@ extraction itself never depends on the object map).  Content inside
 invocation site (recursion bounded, cycles guarded), with the carried
 font state flowing in and out — the standard real-crawl shape where
 letterhead/body live in form XObjects.  ENCRYPTED files with the
-standard security handler in its RC4 forms (/V 1-2, /R 2-3) AND its
-AES-128-CBC form (/V 4 /CFM /AESV2, R 4) with an empty user password —
-the ubiquitous "owner-locked" crawl PDF — are decrypted per object
-(file key from /O,/P,/ID per the public ISO 32000-1 algorithms; see
-the crypt section below).  CID fonts WITHOUT
-/ToUnicode decode under /Identity-H by reversing the embedded
+standard security handler in its RC4 forms (/V 1-2, /R 2-3), its
+AES-128-CBC form (/V 4 /CFM /AESV2, R 4), AND its AES-256-CBC form
+(/V 5 /CFM /AESV3, R 5-6 — ISO 32000-2 Algorithms 2.A/2.B) with an
+empty user password — the ubiquitous "owner-locked" crawl PDF — are
+decrypted per object (RC4/AESV2 file key from /O,/P,/ID per ISO
+32000-1; AESV3 file key by validating /U's salts and decrypting /UE;
+see the crypt section below).  /EncryptMetadata false (R>=4) feeds the
+Algorithm-2 FF FF FF FF suffix; a non-/StdCF /StmF degrades to
+no-decryption rather than emitting wrongly-keyed text.  CID fonts
+WITHOUT /ToUnicode decode under /Identity-H by reversing the embedded
 FontFile2 TrueType ``cmap`` table (formats 4 and 12; /CIDToGIDMap as
 /Identity or a u16 stream) — see :func:`parse_ttf_cmap`.  Anything
-outside this scope (AES-256 /V 5 handlers, password-protected PDFs,
-CFF /FontFile3 outlines, non-Identity CID encodings) parses to whatever
-text ops are visible — never an error (malformed inputs must not fail
-a batch, same contract as parse_html).
+outside this scope (password-protected PDFs, CFF /FontFile3 outlines,
+non-Identity CID encodings) parses to whatever text ops are visible —
+never an error (malformed inputs must not fail a batch, same contract
+as parse_html).
 """
 
 from __future__ import annotations
@@ -174,9 +178,14 @@ _ESCAPES = {
 # decryption is embarrassingly parallel: every block decrypts
 # independently, then XORs with the previous ciphertext block), so
 # cost per byte is a handful of table lookups, not a Python loop.
-# AES-256 (/V 5) and non-empty user passwords stay out of scope
-# (documented above) — such files degrade to the whatever-is-visible
-# contract like any other unreadable input.
+# AES-256 (/V 5 /CFM /AESV3, R 5-6) follows ISO 32000-2: the empty
+# user password is validated against /U's hash+salts (Algorithm 2.B's
+# iterated SHA-256/384/512 for R 6, single SHA-256 for the draft R 5)
+# and the 32-byte file key comes from AES-256-CBC-decrypting /UE under
+# the intermediate key — objects then decrypt with the FILE key
+# directly (no per-object md5).  Non-empty user passwords stay out of
+# scope (documented above) — such files degrade to the
+# whatever-is-visible contract like any other unreadable input.
 
 _CRYPT_PAD = bytes((
     0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
@@ -246,14 +255,18 @@ def _gf_mul(a: int, b: int) -> int:
 
 
 def _aes_round_keys(key: bytes) -> List[bytes]:
-    """AES-128 key expansion (FIPS-197 §5.2): 11 round keys of 16
-    bytes, words laid out in column order (flat index = 4*col + row —
-    the same layout the block functions use for the state)."""
-    words = [key[i: i + 4] for i in range(0, 16, 4)]
+    """AES key expansion (FIPS-197 §5.2) for Nk=4 (AES-128, 11 round
+    keys) or Nk=8 (AES-256, 15 round keys): words laid out in column
+    order (flat index = 4*col + row — the same layout the block
+    functions use for the state).  AES-256 adds the schedule's extra
+    SubWord at ``i % Nk == 4`` (no RotWord, no rcon)."""
+    nk = len(key) // 4
+    nr = nk + 6
+    words = [key[i: i + 4] for i in range(0, len(key), 4)]
     rcon = 1
-    for i in range(4, 44):
+    for i in range(nk, 4 * (nr + 1)):
         t = words[i - 1]
-        if i % 4 == 0:
+        if i % nk == 0:
             t = bytes(
                 (
                     _AES_SBOX[t[1]] ^ rcon,
@@ -263,8 +276,10 @@ def _aes_round_keys(key: bytes) -> List[bytes]:
                 )
             )
             rcon = ((rcon << 1) ^ (0x1B if rcon & 0x80 else 0)) & 0xFF
-        words.append(bytes(a ^ b for a, b in zip(words[i - 4], t)))
-    return [b"".join(words[4 * r: 4 * r + 4]) for r in range(11)]
+        elif nk > 6 and i % nk == 4:
+            t = bytes(_AES_SBOX[x] for x in t)
+        words.append(bytes(a ^ b for a, b in zip(words[i - nk], t)))
+    return [b"".join(words[4 * r: 4 * r + 4]) for r in range(nr + 1)]
 
 
 # InvShiftRows on the flat column-major state (index 4*col + row):
@@ -274,23 +289,20 @@ _AES_INV_SHIFT = tuple(
 )
 
 
-def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """AES-128-CBC decrypt of an AESV2 payload (IV = data[:16]), PKCS#7
-    padding stripped.  Vectorized across blocks with numpy: the state
-    is an (n_blocks, 16) uint8 matrix; SubBytes is one fancy-index
-    lookup, ShiftRows a column permutation, AddRoundKey a broadcast
-    XOR, and InvMixColumns twelve 256-entry table lookups — every round
-    touches ALL blocks at once, so per-byte cost is table lookups, not
-    Python bytecode.  Malformed payloads (short, ragged, bad padding)
-    return unchanged/unpadded bytes: parse degrades, never raises."""
+def _aes_cbc_core(key: bytes, iv: bytes, ct: bytes) -> bytes:
+    """AES-CBC decrypt of whole blocks (128- or 256-bit key by key
+    length), NO padding strip.  Vectorized across blocks with numpy:
+    the state is an (n_blocks, 16) uint8 matrix; SubBytes is one
+    fancy-index lookup, ShiftRows a column permutation, AddRoundKey a
+    broadcast XOR, and InvMixColumns twelve 256-entry table lookups —
+    every round touches ALL blocks at once, so per-byte cost is table
+    lookups, not Python bytecode."""
     import numpy as np
 
-    if len(data) < 32 or (len(data) - 16) % 16:
-        return data  # not an AESV2 shape — degrade, don't raise
-    iv, ct = data[:16], data[16:]
     rks = [
         np.frombuffer(rk, dtype=np.uint8) for rk in _aes_round_keys(key)
     ]
+    n_r = len(rks) - 1
     inv_sbox = np.frombuffer(_AES_INV_SBOX, dtype=np.uint8)
     mul = {
         m: np.array([_gf_mul(v, m) for v in range(256)], dtype=np.uint8)
@@ -299,9 +311,9 @@ def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     state = (
         np.frombuffer(ct, dtype=np.uint8).reshape(-1, 16).copy()
     )
-    state ^= rks[10]
+    state ^= rks[n_r]
     perm = np.array(_AES_INV_SHIFT)
-    for rnd in range(9, 0, -1):
+    for rnd in range(n_r - 1, 0, -1):
         state = state[:, perm]          # InvShiftRows
         state = inv_sbox[state]         # InvSubBytes
         state ^= rks[rnd]               # AddRoundKey
@@ -320,28 +332,139 @@ def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
             np.frombuffer(ct, dtype=np.uint8).reshape(-1, 16)[:-1],
         )
     )
-    plain = (state ^ prev).tobytes()
+    return (state ^ prev).tobytes()
+
+
+def _aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """AES-CBC decrypt of an AESV2/AESV3 payload (IV = data[:16]),
+    PKCS#7 padding stripped.  Malformed payloads (short, ragged, bad
+    padding) return unchanged/unpadded bytes: parse degrades, never
+    raises."""
+    if len(data) < 32 or (len(data) - 16) % 16:
+        return data  # not an AESV2/V3 shape — degrade, don't raise
+    plain = _aes_cbc_core(key, data[:16], data[16:])
     pad = plain[-1]
     if 1 <= pad <= 16:
         return plain[:-pad]
     return plain  # bad padding: degrade
 
 
+# forward cipher — needed ONLY by the /R 6 password hash (Algorithm
+# 2.B's inner AES-128-CBC encryption); per-object decryption stays on
+# the vectorized inverse above.  CBC ENcryption is inherently
+# sequential across blocks, and 2.B runs it over ~64 repetitions of a
+# <=96-byte unit for >=64 iterations — a bounded ONE-TIME per-file
+# cost, so a scalar Python block here is fine.
+
+#: GF(2^8) x2 / x3 tables for the forward MixColumns — the 2.B hash
+#: encrypts ~10^4 blocks per file, so the peasant-loop _gf_mul must not
+#: sit in that hot path (the inverse cipher already tables its mults).
+_AES_MUL2 = bytes(_gf_mul(x, 2) for x in range(256))
+_AES_MUL3 = bytes(_gf_mul(x, 3) for x in range(256))
+#: SubBytes+ShiftRows fused index: after SubBytes the flat state index
+#: 4*col+row moves to 4*((col+row)%4)+row.
+_AES_FWD_SHIFT = tuple(
+    4 * ((c + r) % 4) + r for c in range(4) for r in range(4)
+)
+
+
+def _aes_encrypt_block(rks: List[bytes], block: bytes) -> bytes:
+    """Forward cipher, one block.  Hot path of the 2.B password hash
+    (~10^4 sequential blocks per file): SubBytes is a C-speed
+    bytes.translate, AddRoundKey a 128-bit int XOR, MixColumns two
+    whole-state GF translates + 16 byte combines.  ``rks`` are the
+    round keys as 128-bit ints (hoisted by the CBC loop)."""
+    rkis = rks
+    s = (int.from_bytes(block, "big") ^ rkis[0]).to_bytes(16, "big")
+    n_r = len(rkis) - 1
+    m2t, m3t, shift = _AES_MUL2, _AES_MUL3, _AES_FWD_SHIFT
+    for rnd in range(1, n_r + 1):
+        sub = s.translate(_AES_SBOX)
+        s = bytes(map(sub.__getitem__, shift))  # ShiftRows
+        if rnd < n_r:  # MixColumns
+            t2 = s.translate(m2t)
+            t3 = s.translate(m3t)
+            s = bytes(
+                (
+                    t2[0] ^ t3[1] ^ s[2] ^ s[3],
+                    s[0] ^ t2[1] ^ t3[2] ^ s[3],
+                    s[0] ^ s[1] ^ t2[2] ^ t3[3],
+                    t3[0] ^ s[1] ^ s[2] ^ t2[3],
+                    t2[4] ^ t3[5] ^ s[6] ^ s[7],
+                    s[4] ^ t2[5] ^ t3[6] ^ s[7],
+                    s[4] ^ s[5] ^ t2[6] ^ t3[7],
+                    t3[4] ^ s[5] ^ s[6] ^ t2[7],
+                    t2[8] ^ t3[9] ^ s[10] ^ s[11],
+                    s[8] ^ t2[9] ^ t3[10] ^ s[11],
+                    s[8] ^ s[9] ^ t2[10] ^ t3[11],
+                    t3[8] ^ s[9] ^ s[10] ^ t2[11],
+                    t2[12] ^ t3[13] ^ s[14] ^ s[15],
+                    s[12] ^ t2[13] ^ t3[14] ^ s[15],
+                    s[12] ^ s[13] ^ t2[14] ^ t3[15],
+                    t3[12] ^ s[13] ^ s[14] ^ t2[15],
+                )
+            )
+        s = (int.from_bytes(s, "big") ^ rkis[rnd]).to_bytes(16, "big")
+    return s
+
+
+def _aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """AES-CBC encrypt of whole blocks (no padding) — the 2.B hash's
+    inner step; ``data`` length must be a block multiple (2.B's 64x
+    repetition guarantees it)."""
+    rkis = [int.from_bytes(rk, "big") for rk in _aes_round_keys(key)]
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        x = int.from_bytes(data[i: i + 16], "big") ^ int.from_bytes(
+            prev, "big"
+        )
+        prev = _aes_encrypt_block(rkis, x.to_bytes(16, "big"))
+        out += prev
+    return bytes(out)
+
+
+def _hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the /R 6 password hash): an iterated
+    SHA-256/384/512 loop whose round digest is selected by the first 16
+    bytes of an AES-128-CBC encryption of 64 repetitions of
+    (password || K || udata), terminating once >= 64 rounds have run
+    AND the encryption's last byte <= round - 32."""
+    import hashlib
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = _aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 class _Decryptor:
     """Per-object decryption around a computed file key: RC4 keystream
     for /V 1-2 handlers, AES-128-CBC for /V 4 /CFM /AESV2 (the per-
     object key gains the spec's b"sAlT" suffix and payloads carry a
-    16-byte IV prefix + PKCS#7 padding)."""
+    16-byte IV prefix + PKCS#7 padding), AES-256-CBC for /V 5 /CFM
+    /AESV3 — where the 32-byte FILE key is used directly (ISO 32000-2
+    dropped the per-object md5 derivation)."""
 
-    __slots__ = ("key", "aes")
+    __slots__ = ("key", "aes", "v5")
 
-    def __init__(self, key: bytes, aes: bool = False) -> None:
+    def __init__(self, key: bytes, aes: bool = False, v5: bool = False) -> None:
         self.key = key
         self.aes = aes
+        self.v5 = v5
 
     def decrypt(self, onum: int, payload: bytes) -> bytes:
         import hashlib
 
+        if self.v5:
+            return _aes_cbc_decrypt(self.key, payload)
         salt = b"sAlT" if self.aes else b""
         h = hashlib.md5(
             self.key + onum.to_bytes(3, "little") + b"\x00\x00" + salt
@@ -399,30 +522,57 @@ def build_decryptor(data: bytes) -> Optional[_Decryptor]:
             body = m.group(2)
     if body is None or b"/Standard" not in body:
         return None
+    import hashlib
+
     v = _dict_int(body, b"/V") or 0
     r = _dict_int(body, b"/R") or 0
+    # /StmF selects the stream crypt filter: absent defaults to the
+    # standard one; /Identity means streams are NOT encrypted (return
+    # None = parse without decryption, which is exactly right); any
+    # other named filter is a custom handler we cannot honor — degrade
+    # rather than decrypt with a wrong key and emit silently garbled
+    # text.
+    m_stmf = re.search(rb"/StmF\s*/([A-Za-z0-9.]+)", body)
+    if m_stmf is not None and m_stmf.group(1) != b"StdCF":
+        return None
+    if v == 5 and r in (5, 6):
+        # AES-256 (ISO 32000-2 /CFM /AESV3), empty user password:
+        # /U = hash(32) || validation salt(8) || key salt(8); the file
+        # key decrypts /UE under the intermediate key (Algorithm 2.A).
+        if b"/AESV3" not in body:
+            return None
+        u = _dict_string(body, b"/U")
+        ue = _dict_string(body, b"/UE")
+        if u is None or len(u) < 48 or ue is None or len(ue) < 32:
+            return None
+        vsalt, ksalt = u[32:40], u[40:48]
+        if r == 6:
+            if _hash_2b(b"", vsalt) != u[:32]:
+                return None  # non-empty user password: out of scope
+            ikey = _hash_2b(b"", ksalt)
+        else:  # R 5 (the pre-ISO AESV3 draft): single SHA-256
+            if hashlib.sha256(vsalt).digest() != u[:32]:
+                return None
+            ikey = hashlib.sha256(ksalt).digest()
+        file_key = _aes_cbc_core(ikey, bytes(16), ue[:32])
+        return _Decryptor(file_key, aes=True, v5=True)
     aes = v == 4 and b"/AESV2" in body
     if not aes and (v not in (1, 2) or r not in (2, 3)):
-        return None  # AES-256 (/V 5) / newer handlers: out of scope
+        return None  # newer/unknown handlers: out of scope
     o = _dict_string(body, b"/O")
     p = _dict_int(body, b"/P")
     if o is None or len(o) < 32 or p is None:
         return None
     nbits = 128 if aes else (_dict_int(body, b"/Length") or 40)
-    m_id = _ID_FIRST_HEX_RE.search(data)
-    id0 = b""
-    if m_id:
-        try:
-            id0 = bytes.fromhex(m_id.group(1).decode("ascii"))
-        except ValueError:
-            id0 = b""
-    import hashlib
-
+    id0 = _first_file_id(data)
     h = hashlib.md5()
     h.update(_CRYPT_PAD)  # empty user password: the pad alone
     h.update(o[:32])
     h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
     h.update(id0)
+    if r >= 4 and re.search(rb"/EncryptMetadata\s+false", body):
+        # Algorithm 2 step f: unencrypted metadata appends FF FF FF FF
+        h.update(b"\xff\xff\xff\xff")
     key = h.digest()
     n = nbits // 8 if r >= 3 else 5
     n = max(5, min(n, 16))
@@ -430,6 +580,27 @@ def build_decryptor(data: bytes) -> Optional[_Decryptor]:
         for _ in range(50):
             key = hashlib.md5(key[:n]).digest()
     return _Decryptor(key[:n], aes=aes)
+
+
+def _first_file_id(data: bytes) -> bytes:
+    """First element of the trailer /ID array — hex (``<...>``) OR
+    literal-string (``(...)``) form; a literal /ID was previously
+    dropped to b'', deriving a wrong file key (silently garbled
+    output)."""
+    m = re.search(rb"/ID\s*\[\s*", data)
+    if m is None:
+        return b""
+    i = m.end()
+    if i < len(data) and data[i] == 0x28:  # (
+        raw, _end = _decode_literal(data, i)
+        return raw
+    m_hex = _ID_FIRST_HEX_RE.search(data)
+    if m_hex:
+        try:
+            return bytes.fromhex(m_hex.group(1).decode("ascii"))
+        except ValueError:
+            return b""
+    return b""
 
 
 _LITERAL_SPECIAL_RE = re.compile(rb"[\\()]")

@@ -2444,15 +2444,19 @@ def extract_pdf_flagship(spark, sf_dir):
     """,
 )
 def extract_pdf_encrypted(spark, sf_dir):
-    """The flagship pipeline over RC4-ENCRYPTED PDF byte streams (the
-    "owner-locked" crawl shape: standard security handler, /V 2 /R 3,
-    empty user password).  Fixture ciphertext comes from
+    """The flagship pipeline over ENCRYPTED PDF byte streams (the
+    "owner-locked" crawl shape: standard security handler, empty user
+    password), cycling the handler per document — RC4 /V 2 /R 3,
+    AES-128 /V 4 /R 4 /AESV2, AES-256 /V 5 /R 5 /AESV3 (the R 6
+    iterated-hash variant is pinned by tests/test_pdf_crypt.py; the
+    draft R 5 keys identically but validates with one SHA-256, keeping
+    the 500-file gate fast).  Fixture ciphertext comes from
     ``datagen.encrypt_pdf`` — an implementation of the public ISO
-    32000-1 encryption algorithms written independently of
+    32000-1/-2 encryption algorithms written independently of
     ``pdf_parse.build_decryptor`` — so a green row proves two separate
-    implementations of key derivation + RC4 agree, and the extracted
-    text still matches the PLAINTEXT closed-form oracle (identical to
-    extract_pdf_flagship's)."""
+    implementations of key derivation + RC4/AES agree, and the
+    extracted text still matches the PLAINTEXT closed-form oracle
+    (identical to extract_pdf_flagship's)."""
     from page_segmentation_spark.packaging import ship_package
     from page_segmentation_spark.plans.extract import extract
 
@@ -2460,10 +2464,20 @@ def extract_pdf_encrypted(spark, sf_dir):
     pages = pdf_pages_from_documents(spark, sf_dir)
 
     def encrypt_kernel(batches):
+        import re as _re
+
         from page_segmentation_spark.datagen import encrypt_pdf
 
+        handlers = ((2, 3), (4, 4), (5, 5))
+        doc_re = _re.compile(rb"\(Document (\d+)\)")
+
+        def enc(html):
+            m = doc_re.search(html)
+            v, r = handlers[int(m.group(1)) % 3 if m else 0]
+            return encrypt_pdf(html, v=v, r=r)
+
         for b in batches:
-            b["html"] = b["html"].map(encrypt_pdf)
+            b["html"] = b["html"].map(enc)
             yield b
 
     enc_pages = pages.mapInPandas(encrypt_kernel, schema=pages.schema)

@@ -188,3 +188,129 @@ def test_aes_malformed_payload_degrades():
 
 def test_unencrypted_files_unaffected():
     assert build_decryptor(build_pdf(_BLOCKS)) is None
+
+
+def _texts(nodes):
+    return [n["text"] for n in nodes]
+
+
+# ---- AES-256 /V 5 /CFM /AESV3 (ISO 32000-2, R 5 draft + R 6) ----------
+
+_FIPS256_KEY = bytes.fromhex(
+    "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+)
+_FIPS256_CT = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+
+
+def test_aes256_cores_match_fips197_vector():
+    """FIPS-197 appendix-C.3 pins BOTH independent AES-256 cores (the
+    generalized Nk=8 key schedules), not just their mutual agreement."""
+    from page_segmentation_spark.datagen import _enc_block, _enc_round_keys
+    from page_segmentation_spark.pdf_parse import _aes_cbc_core
+
+    assert _enc_block(_enc_round_keys(_FIPS256_KEY), _FIPS_PT) == _FIPS256_CT
+    # inverse: one block with zero IV == raw ECB decrypt
+    assert _aes_cbc_core(_FIPS256_KEY, bytes(16), _FIPS256_CT) == _FIPS_PT
+
+
+def test_hash_2b_cross_validation():
+    """The two INDEPENDENT Algorithm-2.B implementations (pdf_parse for
+    decryption, datagen for fixture generation) must agree — with and
+    without the owner-path udata suffix."""
+    from page_segmentation_spark.datagen import _enc_hash_2b
+    from page_segmentation_spark.pdf_parse import _hash_2b
+
+    salt = b"\x01\x23\x45\x67\x89\xab\xcd\xef"
+    assert _hash_2b(b"", salt) == _enc_hash_2b(b"", salt)
+    assert _hash_2b(b"", salt, b"U" * 48) == _enc_hash_2b(b"", salt, b"U" * 48)
+
+
+def test_aesv3_r6_roundtrip_flate_stream():
+    plain = build_pdf(_BLOCKS, compress=True)
+    enc = encrypt_pdf(plain, v=5, r=6)
+    assert b"/AESV3" in enc and b"/UE <" in enc
+    d = build_decryptor(enc)
+    assert d is not None and d.v5 and len(d.key) == 32
+    assert _texts(parse_pdf(enc)) == _texts(parse_pdf(plain))
+
+
+def test_aesv3_r5_roundtrip_plain_stream():
+    plain = build_pdf(_BLOCKS)
+    enc = encrypt_pdf(plain, v=5, r=5)
+    assert b"Encrypted title here" not in enc
+    assert _texts(parse_pdf(enc)) == _texts(parse_pdf(plain))
+
+
+def test_aesv3_r5_key_parameters_matter():
+    """A different /ID derives different salts/keys — ciphertexts
+    diverge but both still decrypt (the /U//UE wrap is self-contained)."""
+    plain = build_pdf(_BLOCKS)
+    a = encrypt_pdf(plain, v=5, r=5)
+    b = encrypt_pdf(
+        plain, v=5, r=5,
+        file_id=bytes.fromhex("ffeeddccbbaa99887766554433221100"),
+    )
+    assert a != b
+    assert _texts(parse_pdf(a)) == _texts(parse_pdf(b)) == _texts(
+        parse_pdf(plain)
+    )
+
+
+# ---- decryptor edge branches (ADVICE round-4 findings) -----------------
+
+
+def test_encrypt_metadata_false_key_suffix():
+    """R>=4 with /EncryptMetadata false appends FF FF FF FF to the
+    Algorithm-2 md5 input; both sides implement it independently, so
+    the round trip fails if either forgets."""
+    plain = build_pdf(_BLOCKS)
+    enc = encrypt_pdf(plain, v=4, r=4, encrypt_metadata=False)
+    assert b"/EncryptMetadata false" in enc
+    assert _texts(parse_pdf(enc)) == _texts(parse_pdf(plain))
+
+
+def test_literal_string_file_id():
+    """A literal-string /ID [(...) (...)] must feed the key derivation
+    the same bytes as the hex form (previously it silently became b''
+    and produced garbled output)."""
+    plain = build_pdf(_BLOCKS)
+    hex_form = encrypt_pdf(plain, v=2, r=3)
+    lit_form = encrypt_pdf(plain, v=2, r=3, id_literal=True)
+    assert b"/ID [(" in lit_form
+    assert _texts(parse_pdf(lit_form)) == _texts(parse_pdf(hex_form))
+    # escaping path: an /ID containing the three string specials
+    tricky = encrypt_pdf(
+        plain, v=2, r=3, id_literal=True,
+        file_id=b"\x28\x29\x5c" + bytes(range(13)),
+    )
+    assert _texts(parse_pdf(tricky)) == _texts(parse_pdf(plain))
+
+
+def test_stmf_identity_means_streams_unencrypted():
+    """/StmF /Identity: streams are NOT encrypted — the decryptor must
+    return None (parse without decryption), not derive a key and emit
+    garbage."""
+    plain = build_pdf(_BLOCKS)
+    tail = (
+        b"90 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+        b"/StmF /Identity /StrF /StdCF "
+        b"/O <" + b"a0" * 32 + b"> /U <" + b"a0" * 32 + b"> "
+        b"/P -44 >>\nendobj\n"
+        b"trailer\n<< /Encrypt 90 0 R /ID [<00112233445566778899aabbccddeeff>"
+        b" <00112233445566778899aabbccddeeff>] >>\n%%EOF\n"
+    )
+    doc = plain + tail
+    assert build_decryptor(doc) is None
+    assert _texts(parse_pdf(doc)) == _texts(parse_pdf(plain))
+
+
+def test_stmf_custom_filter_degrades_to_none():
+    """An unknown named /StmF crypt filter cannot be honored — degrade
+    (None) instead of decrypting with a wrong key into plausible-looking
+    garbage."""
+    plain = build_pdf(_BLOCKS)
+    enc = encrypt_pdf(plain, v=4, r=4)
+    tampered = enc.replace(b"/StmF /StdCF", b"/StmF /MyCF")
+    assert tampered != enc
+    assert build_decryptor(tampered) is None
