@@ -118,43 +118,59 @@ def build_training_corpus(
             .drop("keep_url")
         )
     if neardup:
-        from page_segmentation_spark.operators.components import (
-            connected_components,
-        )
-        from page_segmentation_spark.operators.dedup import (
-            lsh_verified_pairs,
-        )
-
-        # lineage barrier: the pair builder and the label table both
-        # re-reference the funnel subtree (and would recompute it up to
-        # 3x); the lazy localCheckpoint replaces it with an
-        # executor-persisted scan, same discipline as
-        # connected_components' own per-round truncation.
-        out = out.localCheckpoint(eager=False)
-        # Catalyst's Union constraint rewrite throws an internal
-        # AttributeMap key-not-found when the funnel's constraints meet
-        # the label-propagation unions; constraint propagation is an
-        # optimizer nicety the iterative stage does not need, so switch
-        # it off while these plans are ANALYZED (each localCheckpoint
-        # analyzes eagerly) and restore afterwards.
-        spark = out.sparkSession
-        _ckey = "spark.sql.constraintPropagation.enabled"
-        _prev = spark.conf.get(_ckey, "true")
-        spark.conf.set(_ckey, "false")
-        try:
-            pairs = lsh_verified_pairs(
-                out, "url", "clean_text", **(neardup_opts or {})
-            ).localCheckpoint(eager=False)
-            labels = connected_components(
-                out.select("url"), pairs, id_col="url"
-            ).localCheckpoint(eager=False)
-        finally:
-            spark.conf.set(_ckey, _prev)
-        out = out.join(
-            labels.where(F.col("id") == F.col("label")).select(
-                F.col("id").alias("url")
-            ),
-            "url",
-            "left_semi",
-        )
+        out = neardup_representatives(out, neardup_opts)
     return out
+
+
+def neardup_representatives(
+    out: DataFrame,
+    neardup_opts: dict | None = None,
+    url_col: str = "url",
+    text_col: str = "clean_text",
+) -> DataFrame:
+    """The RefinedWeb/FineWeb near-duplicate pass over a (url,
+    clean_text, ...) corpus: MinHash-LSH candidates verified by exact
+    n-gram Jaccard, connected components over the surviving pair
+    graph, keep the min-url representative per component.  Shared by
+    the batch funnel (``build_training_corpus(neardup=True)``) and the
+    streaming sink compactor (``streaming.corpus_stream.compact_corpus``)
+    so the two paths cannot drift."""
+    from page_segmentation_spark.operators.components import (
+        connected_components,
+    )
+    from page_segmentation_spark.operators.dedup import (
+        lsh_verified_pairs,
+    )
+
+    # lineage barrier: the pair builder and the label table both
+    # re-reference the funnel subtree (and would recompute it up to
+    # 3x); the lazy localCheckpoint replaces it with an
+    # executor-persisted scan, same discipline as
+    # connected_components' own per-round truncation.
+    out = out.localCheckpoint(eager=False)
+    # Catalyst's Union constraint rewrite throws an internal
+    # AttributeMap key-not-found when the funnel's constraints meet
+    # the label-propagation unions; constraint propagation is an
+    # optimizer nicety the iterative stage does not need, so switch
+    # it off while these plans are ANALYZED (each localCheckpoint
+    # analyzes eagerly) and restore afterwards.
+    spark = out.sparkSession
+    _ckey = "spark.sql.constraintPropagation.enabled"
+    _prev = spark.conf.get(_ckey, "true")
+    spark.conf.set(_ckey, "false")
+    try:
+        pairs = lsh_verified_pairs(
+            out, url_col, text_col, **(neardup_opts or {})
+        ).localCheckpoint(eager=False)
+        labels = connected_components(
+            out.select(url_col), pairs, id_col=url_col
+        ).localCheckpoint(eager=False)
+    finally:
+        spark.conf.set(_ckey, _prev)
+    return out.join(
+        labels.where(F.col("id") == F.col("label")).select(
+            F.col("id").alias(url_col)
+        ),
+        url_col,
+        "left_semi",
+    )

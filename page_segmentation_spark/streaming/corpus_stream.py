@@ -134,3 +134,61 @@ def stream_training_corpus(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_corpus(
+    spark: SparkSession,
+    corpus_path: str,
+    compacted_path: str,
+    state_path: str,
+    neardup_opts: dict | None = None,
+) -> dict:
+    """Periodic NEAR-duplicate compaction over the accumulated
+    streaming corpus sink — the batch completion of the streaming
+    funnel (which stops at stateful exact dedup because label
+    propagation is iterative and global: a new document can near-dup a
+    document streamed months earlier, so candidate search must see the
+    whole accumulated corpus).
+
+    Runs :func:`plans.training_corpus.neardup_representatives` — the
+    SAME pass, same code object, as ``build_training_corpus
+    (neardup=True)`` — over every accumulated row and overwrites
+    ``compacted_path`` with the surviving representatives.  A
+    high-water mark (input row count) persists at ``state_path``: a
+    re-run against an unchanged sink is a recorded no-op, so a cron
+    cadence is idempotent and cheap between crawl deliveries.  The
+    row-count action and the mark file are job-level control flow
+    (plans/checkpoint.py policy), not data movement.
+
+    Returns a summary dict: {skipped, rows_in, rows_kept}."""
+    import json
+    import os
+
+    corpus = spark.read.parquet(corpus_path)
+    rows_in = corpus.count()
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            mark = json.load(fh)
+        if mark.get("rows_in") == rows_in:
+            return {
+                "skipped": True,
+                "rows_in": rows_in,
+                "rows_kept": mark.get("rows_kept"),
+            }
+    from page_segmentation_spark.plans.training_corpus import (
+        neardup_representatives,
+    )
+
+    kept = neardup_representatives(
+        corpus.select(
+            "url", "lang", "n_tokens", "content_fp", "clean_text"
+        ),
+        neardup_opts,
+    )
+    kept.write.mode("overwrite").parquet(compacted_path)
+    rows_kept = spark.read.parquet(compacted_path).count()
+    tmp = state_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"rows_in": rows_in, "rows_kept": rows_kept}, fh)
+    os.replace(tmp, state_path)  # atomic mark update
+    return {"skipped": False, "rows_in": rows_in, "rows_kept": rows_kept}

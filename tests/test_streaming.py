@@ -339,3 +339,110 @@ def test_stream_training_corpus_cross_batch_dedup(spark, tmp_path):
         "https://s/a", "https://s/c", "https://s/e"
     }
     assert all(r["lang"] == "en" and r["n_tokens"] >= 50 for r in out2)
+
+
+def test_corpus_compaction_matches_batch_neardup(spark, tmp_path):
+    """Streaming near-dup completion: two micro-batch cycles accumulate
+    the exact-deduped corpus sink; compact_corpus then runs the SAME
+    near-dup pass as build_training_corpus(neardup=True) over the
+    accumulated rows — including a cross-cycle near-dup pair, the case
+    the stateful stream cannot catch — and the compacted snapshot is
+    byte-identical to the batch funnel on the same pages.  A second
+    compaction against the unchanged sink is a recorded no-op
+    (high-water mark)."""
+    import os
+
+    from page_segmentation_spark.packaging import ship_package
+    from page_segmentation_spark.plans.training_corpus import (
+        build_training_corpus,
+    )
+    from page_segmentation_spark.sources.warc import build_warc
+    from page_segmentation_spark.streaming.corpus_stream import (
+        compact_corpus,
+        stream_training_corpus,
+    )
+
+    ship_package(spark)
+    src = str(tmp_path / "warc_in")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    compacted = str(tmp_path / "compacted")
+    mark = str(tmp_path / "compact_mark.json")
+    os.makedirs(src)
+
+    def page_html(title, paras):
+        return (
+            "<!DOCTYPE html><html><head><title>t</title></head><body>"
+            f"<article><h1>{title}</h1>"
+            + "".join(f"<p>{p}</p>" for p in paras)
+            + "</article>"
+            '<nav><ul><li><a href="/">Home</a></li>'
+            '<li><a href="/a">About us</a></li>'
+            '<li><a href="/c">Contact</a></li></ul></nav></body></html>'
+        ).encode()
+
+    body = [
+        "the quick brown fox jumps over the lazy dog and then rests "
+        "with a calm heart near the river bank every day.",
+        "a second paragraph of plain prose keeps the word count up "
+        "and gives the filter something real to keep.",
+        "the third paragraph closes out this little document with "
+        "enough words that every rule passes today.",
+    ]
+    near = [body[0], body[1],
+            body[2].replace("rule passes", "rule still passes")]
+    other = [p.replace("the", "an overly").replace("fox", "heron")
+             for p in body]
+    fourth = [
+        "winter mornings bring pale light across the quiet harbor "
+        "while fishing boats drift slowly toward the open water line.",
+        "gulls wheel above the pier in wide loops calling out as the "
+        "crews below stack crates of silver catch onto wooden carts.",
+        "by noon the market stalls overflow with ice and salt and the "
+        "whole town gathers to bargain until the evening bell rings.",
+    ]
+    cycle1 = [("https://s/a", "One", body), ("https://s/c", "Three", other)]
+    cycle2 = [("https://s/b", "Two", near),  # near-dup of cycle-1 /a
+              ("https://s/d", "Four", fourth)]
+    nd_opts = dict(threshold=0.5, n_perms=8, band_size=2)
+
+    def recs(pages):
+        return [
+            {"url": u, "ts": "2024-01-01T00:00:00Z", "body": page_html(t, b)}
+            for u, t, b in pages
+        ]
+
+    with open(os.path.join(src, "c1.warc.gz"), "wb") as f:
+        f.write(build_warc(recs(cycle1)))
+    stream_training_corpus(spark, src, sink, ckpt).awaitTermination(180)
+    with open(os.path.join(src, "c2.warc.gz"), "wb") as f:
+        f.write(build_warc(recs(cycle2)))
+    stream_training_corpus(spark, src, sink, ckpt).awaitTermination(180)
+
+    res = compact_corpus(spark, sink, compacted, mark, neardup_opts=nd_opts)
+    assert res == {"skipped": False, "rows_in": 4, "rows_kept": 3}
+
+    cols = ["url", "lang", "n_tokens", "content_fp", "clean_text"]
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(compacted).collect()
+    )
+    all_pages = spark.createDataFrame(
+        [
+            (u, None, page_html(t, b), None, None)
+            for u, t, b in cycle1 + cycle2
+        ],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in build_training_corpus(
+            all_pages, neardup=True, neardup_opts=nd_opts
+        ).collect()
+    )
+    assert got == want
+    assert {u for u, *_ in got} == {"https://s/a", "https://s/c", "https://s/d"}
+
+    # unchanged sink -> recorded no-op
+    res2 = compact_corpus(spark, sink, compacted, mark, neardup_opts=nd_opts)
+    assert res2 == {"skipped": True, "rows_in": 4, "rows_kept": 3}
