@@ -129,6 +129,69 @@ def connected_components(
     return labels
 
 
+def connected_components_checked(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iters: int = 4,
+    truncate_lineage: bool = True,
+) -> DataFrame:
+    """Fixed-iteration components with an IN-PLAN convergence proof.
+
+    Same lazy, action-free contract as :func:`connected_components`
+    (composable into the driver gate's single Catalyst plan — no
+    ``count()`` at construction time), but unconditionally exact OR a
+    loud failure: one extra propagate+shortcut round is joined back on
+    id and every output label passes through
+    ``CASE WHEN label = label_next THEN label ELSE raise_error(...)``.
+    Min-label propagation is monotone (labels only decrease) and
+    idempotent at the fixed point, so round ``iters+1`` changing ANY
+    label is exactly the statement that round ``iters`` had not
+    converged — a fixture/threshold change producing a deeper component
+    now fails the JOB with an explicit message instead of silently
+    hash-mismatching the oracle (which computes exact reachability).
+    The raise_error branch guards the output column itself, so column
+    pruning cannot drop the check.  Cost over the unchecked form: one
+    extra round plus one id-keyed equi-join — both hash-partitioned,
+    no new scale hazard.
+    """
+    edges = symmetric_edges(pairs, id_a, id_b)
+    if truncate_lineage:
+        edges = edges.localCheckpoint(eager=False)
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    )
+    for _ in range(iters):
+        labels = _one_round(labels, edges)
+        if truncate_lineage:
+            labels = labels.localCheckpoint(eager=False)
+    nxt = _one_round(labels, edges).withColumnRenamed(
+        "label", "label_next"
+    )
+    return labels.join(nxt, "id").select(
+        "id",
+        F.when(
+            F.col("label") == F.col("label_next"), F.col("label")
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "connected_components_checked: label still "
+                        f"moving after iters={iters} rounds at id="
+                    ),
+                    F.col("id").cast("string"),
+                    F.lit(" — raise iters or use *_converged"),
+                )
+            )
+        )
+        .alias("label"),
+    )
+
+
 def connected_components_converged(
     nodes: DataFrame,
     pairs: DataFrame,

@@ -796,14 +796,22 @@ def dedup_components(spark, sf_dir):
     pairs (hamming <= 8) — the step after pair generation that real
     corpus dedup needs: pairs -> clusters -> keep min-id representative.
     Spark side: iterated min-label propagation + pointer-jump
-    shortcutting (components.py); oracle: brute-force recursive-CTE
-    reachability (min reachable id).  Singletons are their own
-    component, so the row count is every doc, pairs or not."""
+    shortcutting with an in-plan convergence proof (components.py
+    ``connected_components_checked`` — an extra round joined back,
+    raise_error on any still-moving label, action-free); oracle:
+    brute-force recursive-CTE reachability (min reachable id).  The
+    check makes this row unconditionally exact like its oracle: a
+    fixture/threshold change producing a component deeper than the
+    iteration horizon fails the job loudly instead of hash-mismatching
+    the gate.  Singletons are their own component, so the row count is
+    every doc, pairs or not."""
     d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     pairs = D.simhash_neardup_pairs(
         d, "doc_id", "text", max_hamming=8, bits=64
     ).persist()
-    labels = CC.connected_components(d, pairs, id_col="doc_id", iters=4)
+    labels = CC.connected_components_checked(
+        d, pairs, id_col="doc_id", iters=4
+    )
     return CC.with_cluster_stats(labels).select(
         F.col("id").alias("doc_id"), "component_id", "cluster_size"
     )

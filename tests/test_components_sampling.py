@@ -97,6 +97,65 @@ def test_cc_converged_reaches_fixed_point(spark):
     assert rounds <= 8
 
 
+def test_cc_checked_exact_on_converged_graph(spark):
+    # Same fixture as test_cc_basic_components: iters=3 converges, so
+    # the checked variant returns identical labels (and no error).
+    nodes = _nodes(spark, [1, 2, 3, 10, 11, 20])
+    pairs = _pairs(spark, [(1, 2), (2, 3), (10, 11)])
+    got = _labels_map(
+        CC.connected_components_checked(
+            nodes, pairs, id_col="doc_id", iters=3
+        )
+    )
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_cc_checked_fails_loud_when_under_iterated(spark):
+    # The adversarial shuffled path (min mid-chain) under-converges at
+    # iters=1; the checked variant must fail the JOB with an explicit
+    # raise_error instead of silently returning split components — the
+    # driver-gate row uses it so a deepened fixture becomes an obvious
+    # error, not a confusing hash mismatch.
+    n = 33
+    nodes = _nodes(spark, list(range(n)))
+    seq = [16, 5, 30, 0, 22, 9, 27, 3, 18, 12, 31, 7, 24, 1, 14, 29, 6,
+           20, 11, 32, 2, 25, 8, 17, 13, 28, 4, 21, 10, 26, 15, 23, 19]
+    pairs = _pairs(
+        spark, [(min(a, b), max(a, b)) for a, b in zip(seq, seq[1:])]
+    )
+    checked = CC.connected_components_checked(
+        nodes, pairs, id_col="doc_id", iters=1
+    )
+    with pytest.raises(Exception, match="label still moving"):
+        checked.collect()
+
+
+def test_cc_checked_is_action_free_at_construction(spark):
+    # The in-plan proof must not run a driver action while the plan is
+    # being built (driver-gate policy, test_plan_audits.py).
+    from pyspark.sql import DataFrame
+
+    nodes = _nodes(spark, [1, 2, 3])
+    pairs = _pairs(spark, [(1, 2)])
+    actions = ("collect", "first", "take", "head", "count", "toPandas")
+    saved = {a: getattr(DataFrame, a) for a in actions}
+
+    def _boom(name):
+        def _f(self, *args, **kwargs):
+            raise AssertionError(f"action {name} at construction")
+        return _f
+
+    try:
+        for a in actions:
+            setattr(DataFrame, a, _boom(a))
+        CC.connected_components_checked(
+            nodes, pairs, id_col="doc_id", iters=2
+        )
+    finally:
+        for a, f in saved.items():
+            setattr(DataFrame, a, f)
+
+
 def test_cc_representatives(spark):
     nodes = _nodes(spark, [1, 2, 3, 10, 11, 20])
     pairs = _pairs(spark, [(1, 2), (2, 3), (10, 11)])
