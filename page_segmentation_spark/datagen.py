@@ -1504,6 +1504,97 @@ def build_avi(doc_id: int) -> bytes:
     return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"AVI " + body
 
 
+def video_frame_params(doc_id: int) -> tuple:
+    """(width, height, n_frames) closed form for the UNCOMPRESSED
+    (BI_RGB) frame-bearing AVI — mirrored literally in the
+    ``mm_video_frames`` oracle SQL (CLAUDE.md invariant 8: change either
+    side only in lockstep).  Dimensions are chosen so every pixel value
+    below stays < 256 (no modulo wrap → exact closed-form channel sums)
+    and so one width (25: 75-byte rows) exercises the 4-byte BMP row
+    padding the decoder must skip."""
+    w = 16 + (doc_id % 3) * 9          # 16 / 25 / 34
+    h = 8 + (doc_id % 2) * 4           # 8 / 12
+    n_frames = 6 + (doc_id % 5) * 3    # 6 .. 18
+    return w, h, n_frames
+
+
+def build_avi_frames(doc_id: int) -> bytes:
+    """Deterministic RIFF/AVI with REAL uncompressed frames: ``LIST
+    hdrl`` holds the avih main header plus a ``LIST strl`` ('vids'
+    strh with handler 'DIB ', BITMAPINFOHEADER strf, biCompression=0 =
+    BI_RGB 24-bit); ``LIST movi`` holds one ``00db`` chunk per frame of
+    bottom-up BGR rows padded to 4 bytes — the codec-free corner of the
+    AVI format, decodable without any media library.  Pixel (x, y) of
+    frame f: B = 3x+f, G = 5y+2f, R = x+y+f (all < 256 by
+    construction), so per-frame channel sums have exact integer closed
+    forms shared with the oracle."""
+    w, h, n_frames = video_frame_params(doc_id)
+    stride = (w * 3 + 3) & ~3
+    usec = 40000
+
+    avih = (
+        usec.to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 3
+        + n_frames.to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (1).to_bytes(4, "little")          # dwStreams
+        + (stride * h).to_bytes(4, "little")  # dwSuggestedBufferSize
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4
+    )
+    strh = (
+        b"vids" + b"DIB "
+        + (0).to_bytes(4, "little") * 4      # flags/prio/lang/initframes
+        + (1).to_bytes(4, "little")          # dwScale
+        + (25).to_bytes(4, "little")         # dwRate (25 fps)
+        + (0).to_bytes(4, "little")          # dwStart
+        + n_frames.to_bytes(4, "little")     # dwLength
+        + (stride * h).to_bytes(4, "little")
+        + (0xFFFFFFFF).to_bytes(4, "little")  # dwQuality
+        + (0).to_bytes(4, "little")          # dwSampleSize
+        + (0).to_bytes(8, "little")          # rcFrame
+    )
+    strf = (
+        (40).to_bytes(4, "little")           # biSize
+        + w.to_bytes(4, "little", signed=False)
+        + h.to_bytes(4, "little", signed=False)  # positive = bottom-up
+        + (1).to_bytes(2, "little")          # biPlanes
+        + (24).to_bytes(2, "little")         # biBitCount
+        + (0).to_bytes(4, "little")          # biCompression = BI_RGB
+        + (stride * h).to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    frames = []
+    for f in range(n_frames):
+        rows = bytearray()
+        for y in range(h - 1, -1, -1):       # bottom-up row order
+            row = bytearray()
+            for x in range(w):
+                row += bytes((3 * x + f, 5 * y + 2 * f, x + y + f))
+            row += b"\x00" * (stride - len(row))
+            rows += row
+        frames.append(chunk(b"00db", bytes(rows)))
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(frames))
+    junk = chunk(b"JUNK", b"\x00" * 4)
+    body = junk + hdrl + movi
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"AVI " + body
+
+
 def mixed_pages_df(spark, n: int, seed: int = 42, partitions: int = 8,
                    pdf_every: int = 4):
     """Mixed HTML + PDF corpus: every ``pdf_every``-th page is a PDF byte

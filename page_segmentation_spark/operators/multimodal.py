@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import struct
 import zlib
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -466,6 +466,129 @@ def extract_video_meta(
             for j, name in enumerate(names):
                 res[name] = [f[j] if f is not None else None for f in feats]
             yield res
+
+    return pruned.mapInPandas(kernel, schema=out_schema)
+
+
+def _avi_chunks(buf: bytes, pos: int, end: int):
+    """Iterate (fourcc, list_kind_or_None, body_start, body_end) over a
+    RIFF chunk run; callers descend into LIST bodies themselves."""
+    while pos + 8 <= end:
+        cid = buf[pos: pos + 4]
+        size = int.from_bytes(buf[pos + 4: pos + 8], "little")
+        body_end = min(pos + 8 + size, end)
+        kind = buf[pos + 8: pos + 12] if cid == b"LIST" else None
+        yield cid, kind, pos + 8, body_end
+        pos += 8 + size + (size & 1)
+
+
+def _find_list(buf: bytes, pos: int, end: int, kind: bytes, depth: int = 0):
+    for cid, k, s, e in _avi_chunks(buf, pos, end):
+        if cid == b"LIST":
+            if k == kind:
+                return s + 4, e
+            if depth < 4:
+                hit = _find_list(buf, s + 4, e, kind, depth + 1)
+                if hit is not None:
+                    return hit
+    return None
+
+
+def decode_avi_frames(data: bytes) -> Tuple[int, int, List["np.ndarray"]]:
+    """Decode UNCOMPRESSED (BI_RGB 24-bit) AVI frames -> (width, height,
+    [HxWx3 uint8 BGR arrays]) — the codec-free corner of the format
+    (handler 'DIB ': raw bottom-up BMP rows in ``00db``/``00dc``
+    chunks), which needs no media library: each frame is one
+    numpy frombuffer + strided reshape + vertical flip.  Compressed
+    streams (biCompression != 0) stay documented out of scope (codecs)
+    and raise, same contract as parse_avi_meta's degenerate cases.
+    Reference bounds its loaders analogously (reference
+    lib/dataset.py:160-191)."""
+    w, h, _nf, _usec = parse_avi_meta(data)
+    hdrl = _find_list(data, 12, len(data), b"hdrl")
+    if hdrl is None:
+        raise ValueError("missing LIST hdrl")
+    strl = _find_list(data, hdrl[0], hdrl[1], b"strl")
+    if strl is None:
+        raise ValueError("missing LIST strl")
+    strf = None
+    for cid, _k, s, e in _avi_chunks(data, strl[0], strl[1]):
+        if cid == b"strf":
+            strf = data[s:e]
+    if strf is None or len(strf) < 40:
+        raise ValueError("missing BITMAPINFOHEADER strf")
+    bit_count = int.from_bytes(strf[14:16], "little")
+    compression = int.from_bytes(strf[16:20], "little")
+    if compression != 0 or bit_count != 24:
+        raise ValueError("compressed/non-24-bit AVI out of scope (codec)")
+    movi = _find_list(data, 12, len(data), b"movi")
+    if movi is None:
+        raise ValueError("missing LIST movi")
+    stride = (w * 3 + 3) & ~3
+    frames = []
+    for cid, _k, s, e in _avi_chunks(data, movi[0], movi[1]):
+        if cid[2:4] in (b"db", b"dc") and e - s >= stride * h:
+            arr = np.frombuffer(data, dtype=np.uint8, count=stride * h,
+                                offset=s).reshape(h, stride)
+            frames.append(arr[::-1, : w * 3].reshape(h, w, 3))
+    return w, h, frames
+
+
+FRAME_FEATURE_SCHEMA_SUFFIX = (
+    "frame_idx int, width int, height int, "
+    "mean_b double, mean_g double, mean_r double"
+)
+
+
+def extract_frame_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_cols: tuple = ("url", "media_idx"),
+    every_n: int = 10,
+) -> DataFrame:
+    """Frame sampling + decode + per-frame channel means in ONE Arrow
+    stage: every ``every_n``-th frame of each uncompressed AVI payload
+    is decoded and reduced to exact int64 channel sums (np.sum over
+    uint8) followed by a SINGLE division by w*h — the determinism
+    contract every double in the engine follows.  Undecodable payloads
+    emit zero rows (same skip contract as the image/audio kernels:
+    corrupt media must not kill a 100-TB job)."""
+    cols = list(id_cols) + [payload_col]
+    pruned = df.select(*cols)
+    out_schema = (
+        ", ".join(f"{c} string" if c == "url" else f"{c} int" for c in id_cols)
+        + ", " + FRAME_FEATURE_SCHEMA_SUFFIX
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                p = row[payload_col]
+                if p is None:
+                    continue
+                try:
+                    w, h, frames = decode_avi_frames(bytes(p))
+                except (ValueError, struct.error, IndexError):
+                    continue
+                ids = tuple(row[c] for c in id_cols)
+                for f_idx in range(0, len(frames), every_n):
+                    sums = np.sum(
+                        frames[f_idx].reshape(-1, 3), axis=0,
+                        dtype=np.int64,
+                    )
+                    out_rows.append(
+                        ids + (f_idx, w, h,
+                               int(sums[0]) / (w * h),
+                               int(sums[1]) / (w * h),
+                               int(sums[2]) / (w * h))
+                    )
+            yield pd.DataFrame(
+                out_rows,
+                columns=list(id_cols)
+                + ["frame_idx", "width", "height",
+                   "mean_b", "mean_g", "mean_r"],
+            )
 
     return pruned.mapInPandas(kernel, schema=out_schema)
 

@@ -3147,6 +3147,69 @@ def mm_video_meta(spark, sf_dir):
     )
 
 
+@_q(
+    "mm_video_frames",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             16 + CAST(doc_id % 3 AS INT) * 9 AS w,
+             8 + CAST(doc_id % 2 AS INT) * 4 AS h,
+             6 + CAST(doc_id % 5 AS INT) * 3 AS nf
+      FROM documents WHERE doc_id < 40
+    ), f AS (
+      SELECT doc_id, w, h, CAST(t.f AS INT) AS frame_idx
+      FROM p, unnest(generate_series(0, greatest(nf - 1, 0), 4)) AS t(f)
+    )
+    SELECT doc_id, frame_idx,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(h * (3 * w * (w - 1) // 2 + w * frame_idx) AS DOUBLE)
+             / (w * h) AS mean_b,
+           CAST(w * (5 * h * (h - 1) // 2 + 2 * frame_idx * h) AS DOUBLE)
+             / (w * h) AS mean_g,
+           CAST(h * w * (w - 1) // 2 + w * h * (h - 1) // 2
+                + w * h * frame_idx AS DOUBLE) / (w * h) AS mean_r
+    FROM f
+    """,
+)
+def mm_video_frames(spark, sf_dir):
+    """REAL uncompressed-AVI frame decode under the driver gate: the
+    deterministic 'DIB '/BI_RGB payloads (datagen.build_avi_frames —
+    strh/strf stream headers, bottom-up padded BGR rows in 00db movi
+    chunks) are decoded by multimodal.decode_avi_frames inside one
+    Arrow mapInPandas stage that samples every 4th frame and reduces it
+    to exact int64 channel sums / one division.  The oracle recomputes
+    the per-frame means from the pixel closed form (B=3x+f, G=5y+2f,
+    R=x+y+f — datagen mirror pair), so a wrong stride, row order
+    (bottom-up!), padding skip, or channel order fails the hash.
+    Compressed codecs stay out of scope; this closes the frame-decode
+    gap for the codec-free container corner."""
+    from page_segmentation_spark.datagen import build_avi_frames
+    from page_segmentation_spark.operators import multimodal as MM
+    from page_segmentation_spark.packaging import ship_package
+
+    ship_package(spark)
+    ids = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select(
+        F.col("doc_id").cast("int").alias("media_idx")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            out = pdf[["media_idx"]].copy()
+            out["payload"] = [
+                build_avi_frames(int(i)) for i in pdf["media_idx"]
+            ]
+            yield out
+
+    media = ids.mapInPandas(synth, schema="media_idx int, payload binary")
+    feats = MM.extract_frame_features(
+        media, id_cols=("media_idx",), every_n=4
+    )
+    return feats.select(
+        F.col("media_idx").cast("long").alias("doc_id"),
+        "frame_idx", "width", "height", "mean_b", "mean_g", "mean_r",
+    )
+
+
 # -------------------------------------------------------- catalog ordering
 #
 # The driver evaluates queries() in dict insertion order and may record
@@ -3176,7 +3239,7 @@ _PRIORITY = [
     "pipeline_training_corpus", "skew_two_phase_agg",
     # multimodal rows (real kernels under the gate)
     "mm_media_stats", "mm_feature_extract",
-    "mm_audio_features", "mm_video_meta",
+    "mm_audio_features", "mm_video_meta", "mm_video_frames",
     # operators changed this round (fresh rows wanted on record)
     "text_bpe_tokens", "text_host_cap", "sim_semantic_dedup",
     "dedup_components", "text_surprisal_buckets", "text_token_quantiles",

@@ -543,6 +543,68 @@ def test_avi_rejects_garbage():
     assert MM.video_meta(b"RIFF\x10\x00\x00\x00AVI JUNK\x04\x00\x00\x00abcd") is None
 
 
+def test_avi_frame_decode_closed_form():
+    import numpy as np
+
+    from page_segmentation_spark.datagen import (
+        build_avi_frames,
+        video_frame_params,
+    )
+
+    for doc_id in range(15):  # covers all (w, h, nf) combos incl. padded
+        w, h, nf = video_frame_params(doc_id)
+        gw, gh, frames = MM.decode_avi_frames(build_avi_frames(doc_id))
+        assert (gw, gh, len(frames)) == (w, h, nf)
+        for f in (0, nf // 2, nf - 1):
+            fr = frames[f].astype(np.int64)
+            # pixel closed form, top-down after the bottom-up flip
+            y, x = 3, 2
+            assert tuple(fr[y, x]) == (3 * x + f, 5 * y + 2 * f, x + y + f)
+            sums = fr.reshape(-1, 3).sum(axis=0)
+            assert sums[0] == h * (3 * w * (w - 1) // 2 + w * f)
+            assert sums[1] == w * (5 * h * (h - 1) // 2 + 2 * f * h)
+            assert sums[2] == (h * w * (w - 1) // 2
+                               + w * h * (h - 1) // 2 + w * h * f)
+
+
+def test_avi_frame_decode_rejects_compressed():
+    import pytest as _pytest
+
+    from page_segmentation_spark.datagen import build_avi, build_avi_frames
+
+    # metadata-only AVI (no strl/strf) and compressed streams both raise
+    with _pytest.raises(ValueError):
+        MM.decode_avi_frames(build_avi(1))
+    data = bytearray(build_avi_frames(1))
+    i = data.find(b"strf")
+    data[i + 8 + 16: i + 8 + 20] = b"MJPG"  # biCompression
+    with _pytest.raises(ValueError, match="out of scope"):
+        MM.decode_avi_frames(bytes(data))
+
+
+def test_extract_frame_features_samples_and_skips(spark):
+    from page_segmentation_spark.datagen import build_avi_frames
+    from page_segmentation_spark.packaging import ship_package
+
+    ship_package(spark)
+    df = spark.createDataFrame(
+        [
+            ("u1", 0, bytearray(build_avi_frames(0))),   # 16x8, 6 frames
+            ("u1", 1, bytearray(b"not media")),          # skipped
+            ("u2", 0, None),                             # skipped
+        ],
+        "url string, media_idx int, payload binary",
+    )
+    rows = MM.extract_frame_features(df, every_n=4).collect()
+    got = {(r["url"], r["media_idx"], r["frame_idx"]): r for r in rows}
+    assert set(got) == {("u1", 0, 0), ("u1", 0, 4)}
+    r = got[("u1", 0, 4)]
+    w, h, f = 16, 8, 4
+    assert (r["width"], r["height"]) == (w, h)
+    assert r["mean_b"] == h * (3 * w * (w - 1) // 2 + w * f) / (w * h)
+    assert r["mean_g"] == w * (5 * h * (h - 1) // 2 + 2 * f * h) / (w * h)
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([("u", 25)], "url string, n_frames int")
     idx = [r["frame_idx"] for r in
