@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import datetime as dt
 import random
-from typing import Dict, Iterator, List
+from typing import Dict, Iterator, List, Optional, Tuple
 
 _WORDS_EN = (
     "the quick brown fox jumps over a lazy dog while ancient scribes "
@@ -641,6 +641,201 @@ def build_ttf_pdf(
             b"<< /Subtype /CIDFontType2 /BaseFont /Synth-TTF "
             b"/FontDescriptor 8 0 R /CIDToGIDMap /Identity >>"
         )
+    out = bytearray(b"%PDF-1.5\n")
+    for num in sorted(objs):
+        out += f"{num} 0 obj\n".encode("ascii") + objs[num] + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def _cff_index(items: List[bytes]) -> bytes:
+    """One CFF INDEX (count u16, offSize, 1-based offsets, data)."""
+    if not items:
+        return (0).to_bytes(2, "big")
+    data = b"".join(items)
+    off_size = 1 if len(data) + 1 < 256 else 2
+    out = len(items).to_bytes(2, "big") + bytes([off_size])
+    o = 1
+    for it in items:
+        out += o.to_bytes(off_size, "big")
+        o += len(it)
+    out += o.to_bytes(off_size, "big")
+    return out + data
+
+
+def build_cff_font(chars: str) -> Tuple[bytes, Dict[str, int]]:
+    """Minimal CFF (Type1C) font program -> (bytes, char -> byte code).
+
+    Glyphs are the unique chars of ``chars`` at GIDs 1..n; charset
+    format 0 assigns each its standard SID (ASCII) or a custom
+    ``uniXXXX`` String-INDEX name (non-ASCII); Encoding is a CUSTOM
+    format-0 table assigning code 0x80+i — deliberately NOT ASCII, so
+    text is recoverable ONLY by walking the CFF naming tables
+    (pdf_parse.parse_cff_charmap), never by latin-1 luck.  CharStrings
+    are 1-byte endchar stubs (outlines are irrelevant to text
+    recovery).  Like the crypt twins (CLAUDE.md invariant 7), this is
+    an INDEPENDENT implementation of the public CFF spec."""
+    glyphs: List[str] = []
+    for ch in chars:
+        if ch not in glyphs:
+            glyphs.append(ch)
+    if len(glyphs) > 96:
+        raise ValueError("repertoire exceeds the custom code range")
+    strings: List[bytes] = []
+    sids: List[int] = []
+    for ch in glyphs:
+        o = ord(ch)
+        if 32 <= o <= 126:
+            sids.append(o - 31)  # standard strings 1..95 = ASCII order
+        else:
+            sids.append(391 + len(strings))
+            strings.append(b"uni%04X" % o)
+    name_idx = _cff_index([b"SynthCFF"])
+    string_idx = _cff_index(strings)
+    gsubr_idx = _cff_index([])
+    encoding = bytes([0, len(glyphs)]) + bytes(
+        0x80 + i for i in range(len(glyphs))
+    )
+    charset = b"\x00" + b"".join(s.to_bytes(2, "big") for s in sids)
+    charstrings = _cff_index([b"\x0e"] * (len(glyphs) + 1))
+    # TopDICT uses fixed-width int32 operands so offsets are computable
+    # before the dict is serialized: 3 entries of (1d + 4 bytes + op).
+    topdict_len = 3 * 6
+    topdict_idx_len = 2 + 1 + 2 * 1 + topdict_len
+    base = (
+        4 + len(name_idx) + topdict_idx_len
+        + len(string_idx) + len(gsubr_idx)
+    )
+    enc_off = base
+    charset_off = enc_off + len(encoding)
+    cs_off = charset_off + len(charset)
+
+    def op32(v: int, op: int) -> bytes:
+        return b"\x1d" + v.to_bytes(4, "big") + bytes([op])
+
+    topdict = op32(charset_off, 15) + op32(enc_off, 16) + op32(cs_off, 17)
+    topdict_idx = _cff_index([topdict])
+    assert len(topdict_idx) == topdict_idx_len
+    cff = (
+        b"\x01\x00\x04\x01" + name_idx + topdict_idx + string_idx
+        + gsubr_idx + encoding + charset + charstrings
+    )
+    return cff, {ch: 0x80 + i for i, ch in enumerate(glyphs)}
+
+
+def build_cff_pdf(
+    blocks: List[tuple], differences: Optional[List[object]] = None
+) -> bytes:
+    """Single-page PDF whose text uses a SIMPLE font with a /FontFile3
+    CFF program and a custom byte encoding: show strings carry the CFF
+    codes (0x80+), so extraction must decode through the CFF charset +
+    Encoding tables (latin-1 fallback would emit high-byte garbage).
+    ``differences`` optionally adds an /Encoding << /Differences [...]
+    >> overlay to the font dict (ints + glyph-name strings)."""
+    import zlib
+
+    chars = "".join(text for _size, text in blocks)
+    cff, char2code = build_cff_font(chars)
+    ops, y = [], 760
+    for size, text in blocks:
+        hexs = "".join("%02x" % char2code[ch] for ch in text)
+        ops.append(f"BT /F1 {size:g} Tf 72 {y} Td <{hexs}> Tj ET")
+        y -= 20
+    content = "\n".join(ops).encode("ascii")
+    cff_z = zlib.compress(cff, 6)
+    enc = b""
+    if differences is not None:
+        toks = " ".join(
+            str(t) if isinstance(t, int) else f"/{t}" for t in differences
+        )
+        enc = f" /Encoding << /Differences [ {toks} ] >>".encode("ascii")
+    objs: Dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        4: f"<< /Length {len(content)} >>\nstream\n".encode("ascii")
+           + content + b"\nendstream",
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /SynthCFF "
+           b"/FontDescriptor 8 0 R" + enc + b" >>",
+        8: b"<< /Type /FontDescriptor /FontName /SynthCFF "
+           b"/FontFile3 9 0 R >>",
+        9: f"<< /Subtype /Type1C /Length {len(cff_z)} /Filter "
+           f"/FlateDecode >>\nstream\n".encode("ascii")
+           + cff_z + b"\nendstream",
+    }
+    out = bytearray(b"%PDF-1.5\n")
+    for num in sorted(objs):
+        out += f"{num} 0 obj\n".encode("ascii") + objs[num] + b"\nendobj\n"
+    out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+#: embedded (non-Identity) CMap used by build_cidcmap_pdf: 2-byte codes
+#: at 0xE000+GID map to CID=GID via ONE cidrange, except GID 1 (space),
+#: which rides a cidchar entry — both entry shapes exercised.
+CID_ENC_CMAP = b"""%!PS-Adobe-3.0 Resource-CMap
+/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CMapName /Synth-E000 def
+/CMapType 1 def
+1 begincodespacerange
+<0000> <ffff>
+endcodespacerange
+1 begincidchar
+<e001> 1
+endcidchar
+1 begincidrange
+<e002> <e0ff> 2
+endcidrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end
+"""
+
+
+def build_cidcmap_pdf(blocks: List[tuple]) -> bytes:
+    """Single-page PDF with a Type0 CID font whose /Encoding is an
+    EMBEDDED CMap stream (NOT /Identity-H) and NO /ToUnicode: show
+    strings carry 2-byte codes at 0xE000+GID, the CMap maps them to
+    CIDs, /CIDToGIDMap /Identity maps CIDs to GIDs, and the FontFile2
+    TrueType cmap reversal recovers unicode — the full non-Identity
+    chain."""
+    import zlib
+
+    ops, y = [], 760
+    for size, text in blocks:
+        hexs = "".join(
+            "%04x" % (0xE000 + _ttf_gid(ch))
+            for ch in text if _ttf_gid(ch)
+        )
+        ops.append(f"BT /F1 {size:g} Tf 72 {y} Td <{hexs}> Tj ET")
+        y -= 20
+    content = "\n".join(ops).encode("ascii")
+    ttf = build_ttf_cmap_font()
+    ttf_z = zlib.compress(ttf, 6)
+    cmap_z = zlib.compress(CID_ENC_CMAP, 6)
+    objs: Dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        4: f"<< /Length {len(content)} >>\nstream\n".encode("ascii")
+           + content + b"\nendstream",
+        5: b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-TTF "
+           b"/Encoding 11 0 R /DescendantFonts [7 0 R] >>",
+        7: b"<< /Subtype /CIDFontType2 /BaseFont /Synth-TTF "
+           b"/FontDescriptor 8 0 R /CIDToGIDMap /Identity >>",
+        8: b"<< /Type /FontDescriptor /FontName /Synth-TTF "
+           b"/FontFile2 9 0 R >>",
+        9: f"<< /Length {len(ttf_z)} /Filter /FlateDecode >>\nstream\n"
+           .encode("ascii") + ttf_z + b"\nendstream",
+        11: f"<< /Type /CMap /CMapName /Synth-E000 /Length {len(cmap_z)} "
+            f"/Filter /FlateDecode >>\nstream\n".encode("ascii")
+            + cmap_z + b"\nendstream",
+    }
     out = bytearray(b"%PDF-1.5\n")
     for num in sorted(objs):
         out += f"{num} 0 obj\n".encode("ascii") + objs[num] + b"\nendobj\n"

@@ -59,11 +59,19 @@ Algorithm-2 FF FF FF FF suffix; a non-/StdCF /StmF degrades to
 no-decryption rather than emitting wrongly-keyed text.  CID fonts
 WITHOUT /ToUnicode decode under /Identity-H by reversing the embedded
 FontFile2 TrueType ``cmap`` table (formats 4 and 12; /CIDToGIDMap as
-/Identity or a u16 stream) — see :func:`parse_ttf_cmap`.  Anything
-outside this scope (password-protected PDFs, CFF /FontFile3 outlines,
-non-Identity CID encodings) parses to whatever text ops are visible —
-never an error (malformed inputs must not fail a batch, same contract
-as parse_html).
+/Identity or a u16 stream) — see :func:`parse_ttf_cmap` — and under
+NON-Identity encodings when the /Encoding is an EMBEDDED CMap stream
+(code -> CID via cidrange/cidchar, 2-byte code spaces; see
+:func:`parse_cid_cmap`), composed with the same CID -> unicode chain.
+SIMPLE fonts with a CFF program (/FontFile3 /Subtype /Type1C) decode
+their 1-byte codes through the CFF naming tables (charset + built-in
+or custom Encoding + standard strings / String INDEX -> AGL-style
+glyph-name-to-unicode; see :func:`parse_cff_charmap`), with the font
+dict's /Encoding /Differences array overlaid.  Anything outside this
+scope (password-protected PDFs, PREDEFINED named CMaps like
+/GBK-EUC-H, CID-keyed CFF, Type1 /FontFile eexec programs) parses to
+whatever text ops are visible — never an error (malformed inputs must
+not fail a batch, same contract as parse_html).
 """
 
 from __future__ import annotations
@@ -1147,18 +1155,368 @@ def parse_ttf_cmap(ttf: bytes) -> Dict[int, int]:
     return gid2uni
 
 
+#: Adobe standard strings 1..95 (CFF spec appendix A) — exactly the
+#: StandardEncoding glyph order for codes 32..126, which is why
+#: StandardEncoding below is ``code -> SID = code - 31``.
+_STD_GLYPH_NAMES = (
+    "space exclam quotedbl numbersign dollar percent ampersand "
+    "quoteright parenleft parenright asterisk plus comma hyphen period "
+    "slash zero one two three four five six seven eight nine colon "
+    "semicolon less equal greater question at A B C D E F G H I J K L "
+    "M N O P Q R S T U V W X Y Z bracketleft backslash bracketright "
+    "asciicircum underscore quoteleft a b c d e f g h i j k l m n o p "
+    "q r s t u v w x y z braceleft bar braceright asciitilde"
+).split()
+#: glyph name -> unicode char: the 95 standard names map to ASCII
+#: 32..126 POSITIONALLY — including quoteright/quoteleft at the
+#: apostrophe/grave positions (AGL would assign U+2019/U+2018, but
+#: StandardEncoding fonts near-universally use quoteright AS the
+#: apostrophe, and the positional choice keeps decode(encode(ascii))
+#: an identity for the datagen round-trip twins).
+_STD_NAME2CHAR = {
+    n: chr(32 + i) for i, n in enumerate(_STD_GLYPH_NAMES)
+}
+
+
+def _glyph_name_to_char(name: str) -> Optional[str]:
+    """AGL-style glyph name -> unicode char: the standard-strings table
+    plus the algorithmic ``uniXXXX`` / ``uXXXX[XX]`` families; unknown
+    names return None (the glyph has no text meaning we can recover)."""
+    hit = _STD_NAME2CHAR.get(name)
+    if hit is not None:
+        return hit
+    try:
+        if name.startswith("uni") and len(name) == 7:
+            return chr(int(name[3:], 16))
+        if name.startswith("u") and 5 <= len(name) <= 7:
+            return chr(int(name[1:], 16))
+    except ValueError:
+        return None
+    return None
+
+
+def _cff_read_index(cff: bytes, pos: int) -> Tuple[List[bytes], int]:
+    """One CFF INDEX structure -> (items, next_pos).  Public CFF spec
+    (Adobe TN 5176 §5): count u16, offSize u8, count+1 offsets
+    (1-based), packed data."""
+    count = int.from_bytes(cff[pos: pos + 2], "big")
+    if count == 0:
+        return [], pos + 2
+    off_size = cff[pos + 2]
+    if not 1 <= off_size <= 4:
+        raise ValueError("bad INDEX offSize")
+    offs = []
+    p = pos + 3
+    for _ in range(count + 1):
+        offs.append(int.from_bytes(cff[p: p + off_size], "big"))
+        p += off_size
+    base = p - 1  # offsets are 1-based from the byte before the data
+    items = [cff[base + offs[i]: base + offs[i + 1]] for i in range(count)]
+    end = base + offs[count]
+    if end > len(cff):
+        raise ValueError("INDEX overruns file")
+    return items, end
+
+
+def _cff_parse_dict(data: bytes) -> Dict[int, int]:
+    """CFF DICT -> {op: last integer operand} for the offset-valued ops
+    this reader needs (charset 15, Encoding 16, CharStrings 17); real
+    operands (0x1e) are skipped, escaped ops keyed as 1200+x."""
+    out: Dict[int, int] = {}
+    operands: List[int] = []
+    i, n = 0, len(data)
+    while i < n:
+        b0 = data[i]
+        if 32 <= b0 <= 246:
+            operands.append(b0 - 139)
+            i += 1
+        elif 247 <= b0 <= 250:
+            operands.append((b0 - 247) * 256 + data[i + 1] + 108)
+            i += 2
+        elif 251 <= b0 <= 254:
+            operands.append(-(b0 - 251) * 256 - data[i + 1] - 108)
+            i += 2
+        elif b0 == 28:
+            operands.append(
+                int.from_bytes(data[i + 1: i + 3], "big", signed=True)
+            )
+            i += 3
+        elif b0 == 29:
+            operands.append(
+                int.from_bytes(data[i + 1: i + 5], "big", signed=True)
+            )
+            i += 5
+        elif b0 == 30:  # real: nibbles until 0xf terminator
+            i += 1
+            while i < n:
+                lo = data[i] & 0x0F
+                i += 1
+                if lo == 0x0F or (data[i - 1] >> 4) == 0x0F:
+                    break
+            operands.append(0)
+        elif b0 == 12:
+            if operands:
+                out[1200 + data[i + 1]] = operands[-1]
+            operands = []
+            i += 2
+        elif b0 <= 21:
+            if operands:
+                out[b0] = operands[-1]
+            operands = []
+            i += 1
+        else:
+            raise ValueError(f"bad DICT byte {b0}")
+    return out
+
+
+def parse_cff_charmap(cff: bytes) -> Dict[int, str]:
+    """Byte code -> unicode char from a bare CFF (/FontFile3 /Subtype
+    /Type1C) font program — the text-recovery subset of the public CFF
+    spec: Name/TopDICT/String INDEX walk, charset (GID -> SID, formats
+    0/1/2 or the ISOAdobe identity), Encoding (code -> GID, Standard or
+    custom formats 0/1 + supplements), glyph names via the standard
+    strings or the String INDEX, names to unicode via
+    :func:`_glyph_name_to_char`.  Charstring OUTLINES are never
+    touched — text extraction needs the naming tables only.  Raises
+    ValueError outside this subset (caller degrades)."""
+    if len(cff) < 4:
+        raise ValueError("short CFF")
+    hdr_size = cff[2]
+    _names, pos = _cff_read_index(cff, hdr_size)
+    top_dicts, pos = _cff_read_index(cff, pos)
+    strings, pos = _cff_read_index(cff, pos)
+    if not top_dicts:
+        raise ValueError("no TopDICT")
+    td = _cff_parse_dict(top_dicts[0])
+    if 1230 in td:  # ROS: CIDFont-keyed CFF — charset maps to CIDs,
+        raise ValueError("CID-keyed CFF out of scope")  # not names
+    cs_off = td.get(17)
+    if cs_off is None or cs_off >= len(cff):
+        raise ValueError("no CharStrings")
+    n_glyphs = int.from_bytes(cff[cs_off: cs_off + 2], "big")
+    if n_glyphs < 1:
+        raise ValueError("empty CharStrings")
+
+    def sid_name(sid: int) -> Optional[str]:
+        if sid == 0:
+            return None  # .notdef
+        if sid <= 95:
+            return _STD_GLYPH_NAMES[sid - 1]
+        if sid >= 391 and sid - 391 < len(strings):
+            return strings[sid - 391].decode("latin-1", "replace")
+        return None  # standard strings 96..390: outside the repertoire
+
+    # charset: GID -> SID (GID 0 is .notdef, never listed)
+    charset_off = td.get(15, 0)
+    gid2sid: Dict[int, int] = {}
+    if charset_off == 0:  # ISOAdobe: identity
+        for g in range(1, n_glyphs):
+            gid2sid[g] = g
+    elif charset_off in (1, 2):
+        raise ValueError("Expert charsets out of scope")
+    else:
+        fmt = cff[charset_off]
+        p = charset_off + 1
+        if fmt == 0:
+            for g in range(1, n_glyphs):
+                gid2sid[g] = int.from_bytes(cff[p: p + 2], "big")
+                p += 2
+        elif fmt in (1, 2):
+            n_left_w = 1 if fmt == 1 else 2
+            g = 1
+            while g < n_glyphs:
+                first = int.from_bytes(cff[p: p + 2], "big")
+                n_left = int.from_bytes(
+                    cff[p + 2: p + 2 + n_left_w], "big"
+                )
+                p += 2 + n_left_w
+                for k in range(n_left + 1):
+                    if g >= n_glyphs:
+                        break
+                    gid2sid[g] = first + k
+                    g += 1
+        else:
+            raise ValueError(f"charset format {fmt}")
+
+    out: Dict[int, str] = {}
+
+    def put(code: int, sid: int) -> None:
+        name = sid_name(sid)
+        ch = _glyph_name_to_char(name) if name else None
+        if ch is not None:
+            out.setdefault(code, ch)
+
+    enc_off = td.get(16, 0)
+    if enc_off == 0:  # Standard encoding: code -> SID = code - 31
+        sid2gid = {s: g for g, s in gid2sid.items()}
+        for code in range(32, 127):
+            if code - 31 in sid2gid:  # glyph present in the font
+                put(code, code - 31)
+    elif enc_off == 1:
+        raise ValueError("Expert encoding out of scope")
+    else:
+        fmt = cff[enc_off]
+        p = enc_off + 1
+        if fmt & 0x7F == 0:
+            n_codes = cff[p]
+            p += 1
+            for g in range(1, n_codes + 1):
+                sid = gid2sid.get(g)
+                if sid is not None:
+                    put(cff[p], sid)
+                p += 1
+        elif fmt & 0x7F == 1:
+            n_ranges = cff[p]
+            p += 1
+            g = 1
+            for _ in range(n_ranges):
+                first, n_left = cff[p], cff[p + 1]
+                p += 2
+                for k in range(n_left + 1):
+                    sid = gid2sid.get(g)
+                    if sid is not None:
+                        put(first + k, sid)
+                    g += 1
+        else:
+            raise ValueError(f"encoding format {fmt}")
+        if fmt & 0x80:  # supplements: (code u8, SID u16) pairs
+            n_sups = cff[p]
+            p += 1
+            for _ in range(n_sups):
+                put(cff[p], int.from_bytes(cff[p + 1: p + 3], "big"))
+                p += 3
+    if not out:
+        raise ValueError("no text-meaningful glyphs")
+    return out
+
+
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange(.*?)endcodespacerange", re.S
+)
+_CIDRANGE_RE = re.compile(rb"begincidrange(.*?)endcidrange", re.S)
+_CIDCHAR_RE = re.compile(rb"begincidchar(.*?)endcidchar", re.S)
+_CID_PAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\d+)")
+_CIDCHAR_ENTRY_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*(\d+)")
+
+
+def parse_cid_cmap(payload: bytes) -> Optional[Dict[int, int]]:
+    """code -> CID from an EMBEDDED CMap stream (a Type0 font's
+    /Encoding that is a stream object, not /Identity-H) — cidrange and
+    cidchar sections of the public CMap format.  Only 2-byte code
+    spaces are in scope (the dominant CJK shape, and the width the
+    show-string decoder speaks); any other declared codespace width
+    returns None and the caller degrades."""
+    for m in _CODESPACE_RE.finditer(payload):
+        for lo_hex in re.findall(rb"<([0-9A-Fa-f]+)>", m.group(1)):
+            if len(lo_hex) != 4:
+                return None
+    out: Dict[int, int] = {}
+    for m in _CIDRANGE_RE.finditer(payload):
+        for rm in _CID_PAIR_RE.finditer(m.group(1)):
+            lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
+            cid = int(rm.group(3))
+            if hi - lo > 0xFFFF:
+                continue
+            for c in range(lo, hi + 1):
+                out[c] = cid + (c - lo)
+    for m in _CIDCHAR_RE.finditer(payload):
+        for cm in _CIDCHAR_ENTRY_RE.finditer(m.group(1)):
+            out[int(cm.group(1), 16)] = int(cm.group(2))
+    return out or None
+
+
+_ENCODING_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+0\s+R")
+_FONTFILE3_RE = re.compile(rb"/FontFile3\s+(\d+)\s+0\s+R")
+_DIFF_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
+_DIFF_TOKEN_RE = re.compile(rb"(\d+)|/([A-Za-z0-9.]+)")
+
+
+def _differences_overlay(
+    scope: bytes, base: Dict[int, str]
+) -> Dict[int, str]:
+    """Apply a PDF /Encoding /Differences array over a base code map:
+    integers set the next code, names assign sequential codes (public
+    simple-font encoding semantics)."""
+    md = _DIFF_RE.search(scope)
+    if not md:
+        return base
+    out = dict(base)
+    code = 0
+    for tm in _DIFF_TOKEN_RE.finditer(md.group(1)):
+        if tm.group(1) is not None:
+            code = int(tm.group(1))
+        else:
+            ch = _glyph_name_to_char(tm.group(2).decode("latin-1"))
+            if ch is not None:
+                out[code] = ch
+            else:
+                out.pop(code, None)  # renamed to something unknowable
+            code += 1
+    return out
+
+
+def _simple_font_cff_cmap(
+    body: bytes,
+    objects: Dict[int, bytes],
+    dec: Optional["_Decryptor"] = None,
+) -> Optional[Dict[int, str]]:
+    """1-byte code map for a simple font whose program is a /FontFile3
+    CFF: built-in encoding + charset from :func:`parse_cff_charmap`,
+    then the font dict's /Encoding /Differences overlay (inline dict or
+    indirect object).  None when any link is outside scope."""
+    mfd = _DESCRIPTOR_RE.search(body)
+    fd = objects.get(int(mfd.group(1))) if mfd else None
+    if fd is None:
+        return None
+    mff = _FONTFILE3_RE.search(fd)
+    if not mff:
+        return None
+    ff_onum = int(mff.group(1))
+    ff_body = objects.get(ff_onum)
+    if ff_body is None:
+        return None
+    cff = _object_stream_payload(ff_body, objects, dec, ff_onum)
+    if cff is None:
+        return None
+    try:
+        base = parse_cff_charmap(cff)
+    except (ValueError, IndexError):
+        return None
+    scope = body
+    menc = _ENCODING_REF_RE.search(body)
+    if menc is not None:
+        enc_body = objects.get(int(menc.group(1)))
+        if enc_body is not None:
+            scope = body + enc_body
+    return _differences_overlay(scope, base) or None
+
+
 def _identity_cid_cmap(
     body: bytes,
     objects: Dict[int, bytes],
     dec: Optional["_Decryptor"] = None,
 ) -> Optional[Dict[int, str]]:
-    """CID map for a Type0 font WITHOUT /ToUnicode: requires
-    /Identity-H encoding, then CID -> GID (identity, or a /CIDToGIDMap
-    stream of big-endian u16s) -> unicode via the embedded FontFile2's
-    reversed cmap.  Returns None when any link is outside scope (the
-    caller degrades to whatever is visible, never errors)."""
+    """CID map for a Type0 font WITHOUT /ToUnicode: /Identity-H (CID =
+    code) or an EMBEDDED /Encoding CMap stream (code -> CID via
+    :func:`parse_cid_cmap`), then CID -> GID (identity, or a
+    /CIDToGIDMap stream of big-endian u16s) -> unicode via the embedded
+    FontFile2's reversed cmap.  Returns None when any link is outside
+    scope (the caller degrades to whatever is visible, never errors)."""
+    code2cid: Optional[Dict[int, int]] = None
     if b"/Identity-H" not in body:
-        return None
+        menc = _ENCODING_REF_RE.search(body)
+        if menc is None:
+            return None
+        enc_body = objects.get(int(menc.group(1)))
+        if enc_body is None:
+            return None
+        enc_onum = int(menc.group(1))
+        payload = _object_stream_payload(enc_body, objects, dec, enc_onum)
+        if payload is None:
+            return None
+        code2cid = parse_cid_cmap(payload)
+        if code2cid is None:
+            return None
     md = _DESCENDANT_RE.search(body)
     if not md:
         return None
@@ -1193,16 +1551,24 @@ def _identity_cid_cmap(
             payload = _object_stream_payload(cg_body, objects, dec, cg_onum)
             if payload is not None:
                 cid2gid = payload
-    out: Dict[int, str] = {}
+    cid2uni: Dict[int, str] = {}
     if cid2gid is None:
         for gid, uni in gid2uni.items():
-            out[gid] = chr(uni)
+            cid2uni[gid] = chr(uni)
     else:
         for cid in range(len(cid2gid) // 2):
             gid = int.from_bytes(cid2gid[2 * cid: 2 * cid + 2], "big")
             uni = gid2uni.get(gid)
             if uni is not None:
-                out[cid] = chr(uni)
+                cid2uni[cid] = chr(uni)
+    if code2cid is not None:  # embedded-CMap encoding: compose
+        out = {
+            code: cid2uni[cid]
+            for code, cid in code2cid.items()
+            if cid in cid2uni
+        }
+    else:  # /Identity-H: CID = code
+        out = cid2uni
     return out or None
 
 
@@ -1210,10 +1576,13 @@ def font_cmaps(
     data: bytes,
     objects: Dict[int, bytes],
     dec: Optional["_Decryptor"] = None,
-) -> Dict[str, Dict[int, str]]:
-    """Resource font name -> CID map, for fonts that declare /ToUnicode.
-    Resources are scanned in the raw bytes AND in ObjStm-unpacked object
-    bodies (page dictionaries commonly live in object streams)."""
+) -> Dict[str, Tuple[int, Dict[int, str]]]:
+    """Resource font name -> (code width, code map).  Width 2 for CID
+    (Type0) fonts — /ToUnicode CMaps, /Identity-H TrueType reversal, or
+    embedded-/Encoding-CMap composition; width 1 for simple fonts whose
+    /FontFile3 CFF naming tables recover a byte encoding.  Resources
+    are scanned in the raw bytes AND in ObjStm-unpacked object bodies
+    (page dictionaries commonly live in object streams)."""
     scopes = [data] + [
         b for b in objects.values() if b"/Font" in b
     ]
@@ -1224,19 +1593,26 @@ def font_cmaps(
                 name2obj.setdefault(
                     fm.group(1).decode("latin-1"), int(fm.group(2))
                 )
-    out: Dict[str, Dict[int, str]] = {}
+    out: Dict[str, Tuple[int, Dict[int, str]]] = {}
     for name, onum in name2obj.items():
         body = objects.get(onum)
         if body is None:
             continue
         mtu = _TOUNICODE_RE.search(body)
         if not mtu:
-            # CID font without /ToUnicode: reverse the embedded
-            # TrueType cmap under /Identity-H (the CIDToGIDMap-only
-            # real-crawl shape)
-            cmap = _identity_cid_cmap(body, objects, dec)
-            if cmap:
-                out[name] = cmap
+            if b"/Type0" in body or b"/Identity-H" in body:
+                # CID font without /ToUnicode: reverse the embedded
+                # TrueType cmap under /Identity-H or an embedded
+                # /Encoding CMap (the real-crawl CJK shapes)
+                cmap = _identity_cid_cmap(body, objects, dec)
+                if cmap:
+                    out[name] = (2, cmap)
+            else:
+                # simple font: a /FontFile3 CFF's naming tables give
+                # the byte encoding (plus /Differences overlay)
+                cmap = _simple_font_cff_cmap(body, objects, dec)
+                if cmap:
+                    out[name] = (1, cmap)
             continue
         tu_onum = int(mtu.group(1))
         tu_body = objects.get(tu_onum)
@@ -1247,7 +1623,10 @@ def font_cmaps(
             continue
         cmap = parse_cmap(payload)
         if cmap:
-            out[name] = cmap
+            width = 1 if not (
+                b"/Type0" in body or b"/Identity-H" in body
+            ) else 2
+            out[name] = (width, cmap)
     return out
 
 
@@ -1278,6 +1657,8 @@ def content_streams(
             or b"/ToUnicode" in d
             or b"/XRef" in d
             or b"/XObject" in d
+            or b"/CMap" in d
+            or b"/Type1C" in d
         ):
             continue
         payload = _slice_payload(data, m.end(), d, objects)
@@ -1333,15 +1714,25 @@ def _apply_tf(chunk: bytes, state: FontState) -> FontState:
 
 
 def _bytes_to_text(
-    raw: bytes, font: str, cmaps: Dict[str, Dict[int, str]]
+    raw: bytes, font: str, cmaps: Dict[str, Tuple[int, Dict[int, str]]]
 ) -> str:
-    """Show-op bytes -> text: 2-byte CIDs through the font's /ToUnicode
-    CMap when one exists (unmapped CIDs drop — they have no unicode
-    meaning), else latin-1 per byte (simple fonts)."""
-    cmap = cmaps.get(font)
-    if cmap is None:
+    """Show-op bytes -> text through the font's (width, code map):
+    width 2 = CID fonts (/ToUnicode, reversed TrueType cmap, or
+    embedded-CMap composition), width 1 = simple fonts with a decoded
+    CFF/Differences encoding.  Unmapped codes drop — they have no
+    unicode meaning (.notdef renders nothing).  Fonts with no map at
+    all decode latin-1 per byte (the unadorned simple-font shape)."""
+    ent = cmaps.get(font)
+    if ent is None:
         return raw.decode("latin-1")
+    width, cmap = ent
     parts: List[str] = []
+    if width == 1:
+        for b in raw:
+            mapped = cmap.get(b)
+            if mapped is not None:
+                parts.append(mapped)
+        return "".join(parts)
     for k in range(0, len(raw) - 1, 2):
         cid = (raw[k] << 8) | raw[k + 1]
         mapped = cmap.get(cid)
@@ -1351,7 +1742,7 @@ def _bytes_to_text(
 
 
 def _segment_text(
-    seg: bytes, state: FontState, cmaps: Dict[str, Dict[int, str]]
+    seg: bytes, state: FontState, cmaps: Dict[str, Tuple[int, Dict[int, str]]]
 ) -> Tuple[str, float, FontState]:
     """One BT..ET segment -> (text, size at first show op, new state).
     Walks the segment sequentially so Tf ops update the carried state in
@@ -1429,7 +1820,7 @@ def _walk_stream(
     stream: bytes,
     state: FontState,
     blocks: List[tuple],
-    cmaps: Dict[str, Dict[int, str]],
+    cmaps: Dict[str, Tuple[int, Dict[int, str]]],
     forms: Dict[str, int],
     objects: Dict[int, bytes],
     depth: int = 0,

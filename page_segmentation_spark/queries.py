@@ -2499,6 +2499,86 @@ def extract_pdf_encrypted(spark, sf_dir):
 
 
 @_q(
+    "extract_pdf_fonts",
+    f"""
+    SELECT 'https://testdata/doc/' || CAST(doc_id AS VARCHAR) || '.pdf'
+             AS url,
+           'Document ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+             || text || ' {_PAD_SQL} {_PAD_SQL}' || chr(10) || chr(10)
+             || reverse(text) || ' {_PAD_SQL} {_PAD_SQL}' AS extracted_text,
+           CAST(1 AS BIGINT) AS n_spans,
+           CAST(4 AS BIGINT) AS n_nodes
+    FROM documents
+    """,
+)
+def extract_pdf_fonts(spark, sf_dir):
+    """The flagship pipeline over PDFs cycling the three DECODED font
+    machineries per doc_id % 3: (0) simple font with a /FontFile3 CFF
+    program and CUSTOM byte codes at 0x80+ (text recoverable only by
+    walking the CFF charset/Encoding/standard-strings chain), (1) Type0
+    with an EMBEDDED /Encoding CMap stream — NOT /Identity-H — and no
+    /ToUnicode (codes at 0xE000+GID through cidchar/cidrange, then
+    CIDToGIDMap + reversed TrueType cmap), (2) Type0 /Identity-H
+    FontFile2 reversal.  All three must land on the same PLAINTEXT
+    closed-form oracle as extract_pdf_flagship — a wrong naming-table
+    walk, encoding composition, or code width fails the hash on a third
+    of the corpus."""
+    import pandas as pd
+
+    from page_segmentation_spark.packaging import ship_package
+    from page_segmentation_spark.plans.extract import extract
+
+    ship_package(spark)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+
+    def kernel(batches):
+        from page_segmentation_spark.datagen import (
+            build_cff_pdf,
+            build_cidcmap_pdf,
+            build_ttf_pdf,
+        )
+
+        builders = (build_cff_pdf, build_cidcmap_pdf, build_ttf_pdf)
+        footer = (
+            "Visit http://example.test/terms or www.example.test/privacy"
+        )
+        for b in batches:
+            rows = []
+            for i, text, lang in zip(b["doc_id"], b["text"], b["lang"]):
+                i = int(i)
+                blocks = [
+                    (24.0, f"Document {i}"),
+                    (11.0, f"{text} {PAD} {PAD}"),
+                    (11.0, f"{text[::-1]} {PAD} {PAD}"),
+                    (8.0, footer),
+                ]
+                rows.append(
+                    (
+                        f"https://testdata/doc/{i}.pdf",
+                        builders[i % 3](blocks),
+                        text,
+                        lang,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["url", "html", "text", "lang"]
+            )
+
+    pages = d.mapInPandas(
+        kernel, schema="url string, html binary, text string, lang string"
+    ).withColumn(
+        "warc_ts", F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    )
+    out = extract(pages)
+    return out.select(
+        "url",
+        "extracted_text",
+        F.size("spans").cast("long").alias("n_spans"),
+        "n_nodes",
+    )
+
+
+@_q(
     "extract_arch_wide",
     f"""
     SELECT 'https://testdata/doc/' || CAST(doc_id AS VARCHAR) AS url,
@@ -3234,7 +3314,7 @@ _PRIORITY = [
     "p12_points_parse", "p14_overlay_mask",
     # flagships + composed funnel (the plans a crawl user actually runs)
     "extract_flagship", "extract_fused_flagship",
-    "extract_pdf_flagship", "extract_pdf_encrypted",
+    "extract_pdf_flagship", "extract_pdf_encrypted", "extract_pdf_fonts",
     "extract_arch_wide", "extract_arch_trained",
     "pipeline_training_corpus", "skew_two_phase_agg",
     # multimodal rows (real kernels under the gate)

@@ -410,3 +410,99 @@ def test_ttf_cmap_parser_degrades():
     assert "Title" not in [
         n["text"] for n in parse_pdf(data.replace(good_z, bad_z))
     ]
+
+
+def test_cff_simple_font_decodes_through_naming_tables():
+    """Simple font with a /FontFile3 CFF program and a CUSTOM byte
+    encoding (codes 0x80+): text is recoverable ONLY by walking the CFF
+    charset + Encoding + standard-strings/String-INDEX chain — a
+    latin-1 fallback would emit high-byte garbage."""
+    from page_segmentation_spark.datagen import build_cff_pdf
+
+    blocks = [
+        (24, "CFF Title Here"),
+        (11, "Body text with été accents, digits 42 and punctuation."),
+    ]
+    nodes = parse_pdf(build_cff_pdf(blocks))
+    assert [n["text"] for n in nodes] == [b[1] for b in blocks]
+    assert nodes[0]["tag"] == "h1"
+
+
+def test_cff_differences_overlay():
+    """/Encoding /Differences in the font dict overrides the CFF's
+    built-in code assignments: ints set the code, names assign
+    sequentially, unknown names UNMAP the code (glyph renders but has
+    no recoverable text meaning)."""
+    from page_segmentation_spark.datagen import build_cff_font, build_cff_pdf
+
+    blocks = [(11, "abc")]
+    _cff, char2code = build_cff_font("abc")
+    # remap 'a' and 'b' codes to uppercase names; kill 'c' with an
+    # unknown ornament name
+    diffs = [char2code["a"], "A", "B", char2code["c"], "ornament7"]
+    nodes = parse_pdf(build_cff_pdf(blocks, differences=diffs))
+    assert [n["text"] for n in nodes] == ["AB"]
+
+
+def test_cff_standard_encoding_path():
+    """A CFF whose TopDICT omits the Encoding op (offset 0 = Standard):
+    codes ARE ASCII and map through code -> SID = code - 31."""
+    from page_segmentation_spark.datagen import build_cff_font
+    from page_segmentation_spark.pdf_parse import parse_cff_charmap
+
+    cff, char2code = build_cff_font("Az 9.")
+    # rewrite the Encoding operand (second 1d-int32 entry) to 0
+    i = cff.find(b"\x1d", cff.find(b"\x1d") + 1)
+    std = cff[:i + 1] + (0).to_bytes(4, "big") + cff[i + 5:]
+    m = parse_cff_charmap(std)
+    assert {chr(c): s for c, s in m.items()} == {
+        ch: ch for ch in "Az 9."
+    }
+
+
+def test_cff_parser_degrades():
+    """Out-of-scope/broken CFFs raise ValueError from the parser and
+    degrade to visible bytes in the full pipeline — never an
+    exception."""
+    import pytest as _pytest
+
+    from page_segmentation_spark.datagen import build_cff_font, build_cff_pdf
+    from page_segmentation_spark.pdf_parse import parse_cff_charmap
+
+    for bad in (b"", b"\x01\x00\x04\x01", b"\x01\x00\x04\x01" + b"\xff" * 8):
+        with _pytest.raises((ValueError, IndexError)):
+            parse_cff_charmap(bad)
+    # CID-keyed CFF (ROS in TopDICT) is out of scope
+    cff, _ = build_cff_font("ab")
+    # splice a ROS-bearing topdict is intrusive; instead break the link:
+    data = build_cff_pdf([(11, "ab")])
+    dangling = data.replace(b"/FontFile3 9 0 R", b"/FontFile3 99 0 R")
+    nodes = parse_pdf(dangling)  # degrades to raw bytes, no exception
+    assert all("ab" != n["text"] for n in nodes)
+
+
+def test_embedded_cmap_non_identity_encoding():
+    """Type0 font whose /Encoding is an embedded CMap STREAM (codes at
+    0xE000+GID -> CIDs via cidchar + cidrange) with no /ToUnicode: the
+    full non-Identity chain composes code->CID->GID->unicode."""
+    from page_segmentation_spark.datagen import build_cidcmap_pdf
+
+    blocks = [(24, "Café titre — grand"), (11, "corps ascii (parens ok)")]
+    nodes = parse_pdf(build_cidcmap_pdf(blocks))
+    assert [n["text"] for n in nodes] == [b[1] for b in blocks]
+    assert nodes[0]["tag"] == "h1"
+
+
+def test_embedded_cmap_rejects_non_2byte_codespace():
+    from page_segmentation_spark.pdf_parse import parse_cid_cmap
+
+    one_byte = (
+        b"begincodespacerange\n<00> <ff>\nendcodespacerange\n"
+        b"begincidrange\n<00> <ff> 0\nendcidrange"
+    )
+    assert parse_cid_cmap(one_byte) is None
+    two_byte = (
+        b"begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        b"begincidchar\n<e001> 7\nendcidchar"
+    )
+    assert parse_cid_cmap(two_byte) == {0xE001: 7}
