@@ -71,6 +71,11 @@ class ExtractSettings:
     separator: str = "\n\n"
     n_classes: int = N_CLASSES
     max_nodes_per_doc: int = MAX_NODES_PER_DOC
+    #: user password for encrypted PDFs (empty = the owner-locked crawl
+    #: shape; a wrong password degrades to visible ops, never garbles).
+    #: Read by BOTH plans/extract's parse stage and
+    #: oracle.extract_document (mirror sites; byte-identity).
+    pdf_password: str = ""
 
 
 def derive_thresholds(char_med: float) -> tuple[int, int]:

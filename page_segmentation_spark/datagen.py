@@ -1198,6 +1198,22 @@ def _enc_hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
             return k[:32]
 
 
+def _enc_user_entry(file_key: bytes, r: int, file_id: bytes) -> bytes:
+    """/U per ISO 32000-1 Algorithm 4 (R 2) / 5 (R >= 3) — the check
+    value a conforming reader validates the user password against.
+    Independent of pdf_parse's validator per the crypt
+    cross-validation invariant."""
+    if r == 2:
+        return _enc_rc4(file_key, _ENC_PAD)
+    import hashlib
+
+    u = hashlib.md5(_ENC_PAD + file_id).digest()
+    u = _enc_rc4(file_key, u)
+    for i in range(1, 20):
+        u = _enc_rc4(bytes(b ^ i for b in file_key), u)
+    return u + bytes(range(16))  # 16 arbitrary pad bytes (deterministic)
+
+
 def encrypt_pdf(
     pdf: bytes,
     v: int = 2,
@@ -1209,6 +1225,7 @@ def encrypt_pdf(
     enc_onum: int = 90,
     encrypt_metadata: bool = True,
     id_literal: bool = False,
+    password: bytes = b"",
 ) -> bytes:
     """Encrypt every stream payload of a datagen-built PDF under the
     standard security handler with an EMPTY user password (the
@@ -1240,10 +1257,11 @@ def encrypt_pdf(
         return _encrypt_pdf_aes(
             pdf, file_key, owner_entry, perms, file_id, enc_onum,
             v5_r=r if r in (5, 6) else 6, id_literal=id_literal,
+            password=password,
         )
 
     h = hashlib.md5()
-    h.update(_ENC_PAD)
+    h.update((password + _ENC_PAD)[:32])
     h.update(owner_entry[:32])
     h.update((perms & 0xFFFFFFFF).to_bytes(4, "little"))
     h.update(file_id)
@@ -1261,6 +1279,7 @@ def encrypt_pdf(
         return _encrypt_pdf_aes(
             pdf, file_key, owner_entry, perms, file_id, enc_onum,
             encrypt_metadata=encrypt_metadata, id_literal=id_literal,
+            password=password,
         )
 
     out = bytearray(pdf)
@@ -1277,9 +1296,10 @@ def encrypt_pdf(
         out[start: start + ln] = _enc_rc4(ok, payload)
 
     id_entry = _id_array_entry(file_id, id_literal)
+    user_entry = _enc_user_entry(file_key, r, file_id)
     tail = (
         f"{enc_onum} 0 obj\n<< /Filter /Standard /V {v} /R {r} "
-        f"/O <{owner_entry.hex()}> /U <{owner_entry.hex()}> "
+        f"/O <{owner_entry.hex()}> /U <{user_entry.hex()}> "
         f"/P {perms} /Length {nbits} >>\nendobj\n"
         f"trailer\n<< /Encrypt {enc_onum} 0 R "
         f"/ID {id_entry} >>\n%%EOF\n"
@@ -1310,6 +1330,7 @@ def _encrypt_pdf_aes(
     v5_r: int | None = None,
     encrypt_metadata: bool = True,
     id_literal: bool = False,
+    password: bytes = b"",
 ) -> bytes:
     """AESV2 (/V 4 /R 4) or — with ``v5_r`` set — AESV3 (/V 5 /R 5-6)
     encryption of a datagen-built PDF.  Unlike RC4, AES grows every
@@ -1336,8 +1357,9 @@ def _encrypt_pdf_aes(
     if v5_r is not None:
         vsalt = hashlib.md5(b"dg-vs" + file_id).digest()[:8]
         ksalt = hashlib.md5(b"dg-ks" + file_id).digest()[:8]
-        u48 = _h6(b"", vsalt) + vsalt + ksalt
-        ue = _enc_aes_cbc(_h6(b"", ksalt), bytes(16), file_key, pad=False)
+        pw = password[:127]
+        u48 = _h6(pw, vsalt) + vsalt + ksalt
+        ue = _enc_aes_cbc(_h6(pw, ksalt), bytes(16), file_key, pad=False)
         ovsalt = hashlib.md5(b"dg-ovs" + file_id).digest()[:8]
         oksalt = hashlib.md5(b"dg-oks" + file_id).digest()[:8]
         o48 = _h6(b"", ovsalt, u48) + ovsalt + oksalt
@@ -1367,7 +1389,8 @@ def _encrypt_pdf_aes(
             f"{enc_onum} 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
             f"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
             f"/StmF /StdCF /StrF /StdCF {em}"
-            f"/O <{owner_entry.hex()}> /U <{owner_entry.hex()}> "
+            f"/O <{owner_entry.hex()}> "
+            f"/U <{_enc_user_entry(file_key, 4, file_id).hex()}> "
             f"/P {perms} >>\nendobj\n"
         ).encode("ascii")
 

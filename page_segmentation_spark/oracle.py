@@ -344,7 +344,11 @@ def extract_document(
 
     settings = settings or ExtractSettings()
     arch = find_architecture(settings.architecture)
-    nodes = parse_page(html, max_nodes=settings.max_nodes_per_doc)
+    nodes = parse_page(
+        html,
+        max_nodes=settings.max_nodes_per_doc,
+        pdf_password=settings.pdf_password,
+    )
     preds, med = score_nodes(nodes, arch)
     if "cc_majority" in settings.post_process:
         preds = cc_majority_vote(nodes, preds)

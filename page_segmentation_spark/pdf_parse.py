@@ -513,11 +513,35 @@ def _dict_int(body: bytes, name: bytes) -> Optional[int]:
     return int(m.group(1)) if m else None
 
 
-def build_decryptor(data: bytes) -> Optional[_Decryptor]:
+def _check_user_key(key: bytes, r: int, id0: bytes, u: bytes) -> bool:
+    """ISO 32000-1 Algorithm 6: validate a candidate file key against
+    /U.  R 2 compares the full RC4(pad); R >= 3 compares the first 16
+    bytes of the iterated-RC4 chain over md5(pad || /ID[0])."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _CRYPT_PAD) == u[:32]
+    enc = _rc4(key, hashlib.md5(_CRYPT_PAD + id0).digest())
+    for i in range(1, 20):
+        enc = _rc4(bytes(b ^ i for b in key), enc)
+    return enc == u[:16]
+
+
+def build_decryptor(
+    data: bytes, password: bytes = b""
+) -> Optional[_Decryptor]:
     """File decryptor from the trailer's /Encrypt dict, or None when the
     file is unencrypted or uses an unsupported handler.  Uses its own
     raw object scan: the spec forbids storing the encrypt dict inside an
-    object stream, and its own strings are never encrypted."""
+    object stream, and its own strings are never encrypted.
+
+    ``password`` is the USER password; the empty password (the
+    "owner-locked" crawl shape) is always tried as a fallback, so a
+    wrong supplied password still opens empty-password files.  When /U
+    is present, every candidate key is VALIDATED against it (Algorithm
+    6 for RC4/AES-128, the salt hashes for AES-256) and a file no
+    candidate validates degrades to None — visible ops only, never
+    silently garbled text from a wrong key."""
     enc_ref = None
     for m in _ENCRYPT_REF_RE.finditer(data):
         enc_ref = m  # last wins (incremental updates append trailers)
@@ -554,16 +578,21 @@ def build_decryptor(data: bytes) -> Optional[_Decryptor]:
         if u is None or len(u) < 48 or ue is None or len(ue) < 32:
             return None
         vsalt, ksalt = u[32:40], u[40:48]
-        if r == 6:
-            if _hash_2b(b"", vsalt) != u[:32]:
-                return None  # non-empty user password: out of scope
-            ikey = _hash_2b(b"", ksalt)
-        else:  # R 5 (the pre-ISO AESV3 draft): single SHA-256
-            if hashlib.sha256(vsalt).digest() != u[:32]:
-                return None
-            ikey = hashlib.sha256(ksalt).digest()
-        file_key = _aes_cbc_core(ikey, bytes(16), ue[:32])
-        return _Decryptor(file_key, aes=True, v5=True)
+        candidates = [password[:127]]
+        if password:
+            candidates.append(b"")
+        for pwd in candidates:
+            if r == 6:
+                if _hash_2b(pwd, vsalt) != u[:32]:
+                    continue
+                ikey = _hash_2b(pwd, ksalt)
+            else:  # R 5 (the pre-ISO AESV3 draft): single SHA-256
+                if hashlib.sha256(pwd + vsalt).digest() != u[:32]:
+                    continue
+                ikey = hashlib.sha256(pwd + ksalt).digest()
+            file_key = _aes_cbc_core(ikey, bytes(16), ue[:32])
+            return _Decryptor(file_key, aes=True, v5=True)
+        return None  # no candidate password validates: degrade
     aes = v == 4 and b"/AESV2" in body
     if not aes and (v not in (1, 2) or r not in (2, 3)):
         return None  # newer/unknown handlers: out of scope
@@ -573,21 +602,36 @@ def build_decryptor(data: bytes) -> Optional[_Decryptor]:
         return None
     nbits = 128 if aes else (_dict_int(body, b"/Length") or 40)
     id0 = _first_file_id(data)
-    h = hashlib.md5()
-    h.update(_CRYPT_PAD)  # empty user password: the pad alone
-    h.update(o[:32])
-    h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
-    h.update(id0)
-    if r >= 4 and re.search(rb"/EncryptMetadata\s+false", body):
-        # Algorithm 2 step f: unencrypted metadata appends FF FF FF FF
-        h.update(b"\xff\xff\xff\xff")
-    key = h.digest()
+    u = _dict_string(body, b"/U")
+    meta_suffix = bool(
+        r >= 4 and re.search(rb"/EncryptMetadata\s+false", body)
+    )
     n = nbits // 8 if r >= 3 else 5
     n = max(5, min(n, 16))
-    if r >= 3:
-        for _ in range(50):
-            key = hashlib.md5(key[:n]).digest()
-    return _Decryptor(key[:n], aes=aes)
+    candidates = [password]
+    if password:
+        candidates.append(b"")
+    fallback = None
+    for pwd in candidates:
+        h = hashlib.md5()
+        h.update((pwd + _CRYPT_PAD)[:32])  # Algorithm 2 padded password
+        h.update(o[:32])
+        h.update((p & 0xFFFFFFFF).to_bytes(4, "little"))
+        h.update(id0)
+        if meta_suffix:
+            # Algorithm 2 step f: unencrypted metadata appends FFFFFFFF
+            h.update(b"\xff\xff\xff\xff")
+        key = h.digest()
+        if r >= 3:
+            for _ in range(50):
+                key = hashlib.md5(key[:n]).digest()
+        if u is not None and len(u) >= (32 if r == 2 else 16):
+            if _check_user_key(key[:n], r, id0, u):
+                return _Decryptor(key[:n], aes=aes)
+        elif fallback is None:
+            # no checkable /U: trust the first candidate (legacy files)
+            fallback = _Decryptor(key[:n], aes=aes)
+    return fallback  # validation failed on every candidate: degrade
 
 
 def _first_file_id(data: bytes) -> bytes:
@@ -1888,7 +1932,9 @@ def _body_size(blocks: List[tuple]) -> float:
 
 
 def parse_pdf(
-    data: bytes | bytearray, max_nodes: int = 50_000
+    data: bytes | bytearray,
+    max_nodes: int = 50_000,
+    password: bytes = b"",
 ) -> List[Dict[str, Any]]:
     """Parse one PDF byte stream into ordered node records with the SAME
     fields as :func:`page_segmentation_spark.html_parse.parse_html`
@@ -1905,7 +1951,7 @@ def parse_pdf(
         # the object map is only needed for CID fonts / ObjStm / indirect
         # /Length — all cheap regex passes; content scan never fails if
         # the map is incomplete
-        dec = build_decryptor(data)
+        dec = build_decryptor(data, password)
         objects = parse_objects(data, dec)
         cmaps = font_cmaps(data, objects, dec)
         forms = xobject_forms(data, objects)

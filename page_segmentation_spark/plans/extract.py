@@ -48,7 +48,11 @@ def classified_nodes(
 
     settings = settings or ExtractSettings()
     arch = find_architecture(settings.architecture)
-    nodes = parse_pages(pages, max_nodes=settings.max_nodes_per_doc)
+    nodes = parse_pages(
+        pages,
+        max_nodes=settings.max_nodes_per_doc,
+        pdf_password=settings.pdf_password,
+    )
     nodes = score(featurize(nodes, arch), arch)
     if settings.post_process:
         for name in settings.post_process:

@@ -71,7 +71,11 @@ _SENTINEL = {
 }
 
 
-def parse_pages(pages: DataFrame, max_nodes: int = MAX_NODES_PER_DOC) -> DataFrame:
+def parse_pages(
+    pages: DataFrame,
+    max_nodes: int = MAX_NODES_PER_DOC,
+    pdf_password: str = "",
+) -> DataFrame:
     """(url, html, ...) -> node table.  Column-pruned input: only url+html
     cross the Arrow channel (Catalyst prunes the parquet scan to these two
     columns — check ReadSchema in explain)."""
@@ -88,7 +92,9 @@ def parse_pages(pages: DataFrame, max_nodes: int = MAX_NODES_PER_DOC) -> DataFra
             # bound appenders once: ~14 dict lookups saved per node
             appenders = [(k, cols[k].append) for k in NODE_FIELDS]
             for url, html in zip(urls, htmls):
-                recs = parse_page(html, max_nodes=max_nodes)
+                recs = parse_page(
+                    html, max_nodes=max_nodes, pdf_password=pdf_password
+                )
                 if not recs:
                     # sentinel row so zero-node documents survive the
                     # groupBy without a (broadcast-unfriendly) re-join of

@@ -314,3 +314,63 @@ def test_stmf_custom_filter_degrades_to_none():
     tampered = enc.replace(b"/StmF /StdCF", b"/StmF /MyCF")
     assert tampered != enc
     assert build_decryptor(tampered) is None
+
+
+def test_password_protected_roundtrips_all_handlers():
+    """Non-empty USER password across every supported handler: the right
+    password recovers the plaintext node stream; no password (or a
+    wrong one) degrades to None/visible-ops — never garbled text from a
+    wrongly-derived key (the /U validation contract)."""
+    plain = build_pdf(_BLOCKS)
+    nodes = parse_pdf(plain)
+    pw = b"hunter2 \xc3\xa9"  # non-ASCII byte content exercised too
+    for v, r in ((1, 2), (2, 3), (4, 4), (5, 5), (5, 6)):
+        enc = encrypt_pdf(plain, v=v, r=r, password=pw)
+        assert parse_pdf(enc, password=pw) == nodes, (v, r)
+        # wrong / missing password: decryptor refuses (degrades)
+        assert build_decryptor(enc) is None, (v, r)
+        assert build_decryptor(enc, b"wrong") is None, (v, r)
+        got = parse_pdf(enc)  # whatever-is-visible, never an exception
+        assert [n["text"] for n in got] != [n["text"] for n in nodes]
+
+
+def test_password_supplied_but_file_is_empty_password():
+    """A supplied password on an ordinary owner-locked (empty user
+    password) file must still open it — the empty password is always a
+    fallback candidate."""
+    plain = build_pdf(_BLOCKS)
+    for v, r in ((2, 3), (4, 4), (5, 6)):
+        enc = encrypt_pdf(plain, v=v, r=r)  # empty user password
+        assert parse_pdf(enc, password=b"whatever") == parse_pdf(plain)
+
+
+def test_u_validation_rejects_tampered_u():
+    """RC4/AES-128 files now carry a REAL Algorithm-5 /U; corrupting it
+    makes every candidate key fail validation -> None (degrade), not a
+    silently-wrong key."""
+    enc = encrypt_pdf(build_pdf(_BLOCKS), v=2, r=3)
+    assert build_decryptor(enc) is not None
+    import re as _re
+
+    m = _re.search(rb"/U <([0-9a-f]+)>", enc)
+    bad = enc[: m.start(1)] + b"00" * 32 + enc[m.end(1):]
+    assert build_decryptor(bad) is None
+
+
+def test_extract_settings_pdf_password_mirror():
+    """ExtractSettings.pdf_password reaches oracle.extract_document (the
+    fused plan's kernel and the declarative parse stage share the same
+    setting — mirror sites)."""
+    from page_segmentation_spark.config import ExtractSettings
+    from page_segmentation_spark.oracle import extract_document
+
+    plain = build_pdf(
+        [(24, "Locked Title"), (11, "Locked body with enough words here")]
+    )
+    enc = encrypt_pdf(plain, v=4, r=4, password=b"s3cret")
+    want = extract_document(plain)["extracted_text"]
+    got = extract_document(enc, ExtractSettings(pdf_password="s3cret"))
+    assert got["extracted_text"] == want
+    assert want  # non-vacuous
+    # without the password: degraded, not equal
+    assert extract_document(enc)["extracted_text"] != want
