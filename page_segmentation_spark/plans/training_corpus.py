@@ -60,6 +60,34 @@ def corpus_features(
         ext = extract_fused(pages)
     else:
         ext = extract(pages)
+    return _funnel_from_extracted(ext, c4_opts, gopher_opts)
+
+
+def corpus_features_from_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    c4_opts: dict | None = None,
+    gopher_opts: dict | None = None,
+) -> DataFrame:
+    """The same stateless funnel over ALREADY-EXTRACTED text — the WET
+    input shape (``sources.warc.read_wet``): Common Crawl publishes
+    extracted plain text alongside raw captures, and a corpus built
+    from it skips the parse/extract stage entirely.  Every downstream
+    stage (C4, Gopher, lang ID, tokens, fingerprint, dedup) is
+    IDENTICAL code to the pages path, so WET-built and HTML-built
+    corpora cannot drift in filter semantics."""
+    ext = docs.select("url", F.col(text_col).alias("extracted_text"))
+    return _funnel_from_extracted(ext, c4_opts, gopher_opts)
+
+
+def _funnel_from_extracted(
+    ext: DataFrame,
+    c4_opts: dict | None = None,
+    gopher_opts: dict | None = None,
+) -> DataFrame:
+    """C4 -> Gopher -> lang ID / tokens / fingerprint over an
+    (url, extracted_text) table — the shared tail of both input paths
+    (zero-shuffle Catalyst projections, fused into the upstream stage)."""
     c4 = c4_line_filter(ext, "url", "extracted_text", **(c4_opts or {}))
     page_kept = c4.where(F.col("page_kept") == 1)
     g = gopher_quality(
@@ -88,8 +116,14 @@ def build_training_corpus(
     fused: bool = False,
     neardup: bool = False,
     neardup_opts: dict | None = None,
+    from_text: bool = False,
 ) -> DataFrame:
     """Run the full corpus-construction funnel over crawl pages.
+
+    ``from_text=True`` treats ``pages`` as WET-shaped input — (url,
+    text) with extraction already done (``sources.warc.read_wet``) —
+    and skips the extract stage; all filters/dedup stages are the same
+    code objects as the pages path.
 
     Returns one row per SURVIVING document:
     (url, lang, n_tokens, content_fp, clean_text).
@@ -109,7 +143,12 @@ def build_training_corpus(
     over the surviving pair graph, and min-url-representative selection
     — the RefinedWeb/FineWeb two-stage dedup.  Batch-only (iterative
     label propagation); the streaming funnel stops at exact dedup."""
-    out = corpus_features(pages, c4_opts, gopher_opts, fused)
+    if from_text:
+        out = corpus_features_from_text(
+            pages, c4_opts=c4_opts, gopher_opts=gopher_opts
+        )
+    else:
+        out = corpus_features(pages, c4_opts, gopher_opts, fused)
     if dedup:
         w = Window.partitionBy("content_fp")
         out = (

@@ -2305,6 +2305,74 @@ def pipeline_training_corpus(spark, sf_dir):
 
 
 @_q(
+    "pipeline_wet_corpus",
+    None,  # replaced below: identical oracle to pipeline_training_corpus
+)
+def pipeline_wet_corpus(spark, sf_dir):
+    """The corpus funnel over WET input (Common Crawl's published
+    extracted-text format): the kernel serializes each batch into real
+    WET bytes (sources/warc.build_wet — WARC conversion records,
+    per-record gzip members) and parses them back with the SAME
+    record parser read_wet uses, then corpus_features_from_text runs
+    the identical C4/Gopher/langid/fingerprint/dedup chain with the
+    extract stage skipped.  The oracle is VERBATIM the
+    pipeline_training_corpus oracle — WET-built and HTML-built corpora
+    must agree exactly when the extracted text agrees, and the round
+    trip pins the WET serializer/parser pair under the driver gate."""
+    import pandas as pd
+
+    from page_segmentation_spark.packaging import ship_package
+    from page_segmentation_spark.plans.training_corpus import (
+        build_training_corpus,
+    )
+
+    ship_package(spark)
+    d = _t(spark, sf_dir, "documents")
+    b = d.select(F.col("doc_id").alias("bid"), F.col("text").alias("btext"))
+    j = (
+        d.select("doc_id")
+        .join(F.broadcast(b), F.col("doc_id") % _PIPE_MOD == F.col("bid"))
+        .select("doc_id", "btext")
+    )
+
+    def kernel(batches):
+        from page_segmentation_spark.sources.warc import (
+            build_wet,
+            parse_warc_bytes,
+        )
+
+        for pdf in batches:
+            recs = [
+                {
+                    "url": f"https://testdata/doc/{int(i)}",
+                    "ts": "2024-01-01T00:00:00Z",
+                    "text": (
+                        f"Document {int(i)}\n\n{t} {PAD}\n\n{t[::-1]} {PAD}"
+                    ),
+                }
+                for i, t in zip(pdf["doc_id"], pdf["btext"])
+            ]
+            rows = [
+                (r["url"], r["html"].decode("utf-8"))
+                for r in parse_warc_bytes(build_wet(recs))
+                if r["rec_type"] == "conversion"
+            ]
+            yield pd.DataFrame(rows, columns=["url", "text"])
+
+    docs = j.mapInPandas(kernel, schema="url string, text string")
+    return build_training_corpus(
+        docs,
+        c4_opts=dict(banned_words=("customer",), min_kept_lines=2),
+        gopher_opts=dict(min_words=100),
+        from_text=True,
+    )
+
+
+# WET and HTML paths share one oracle: same extracted text, same funnel.
+ORACLE_SQL["pipeline_wet_corpus"] = ORACLE_SQL["pipeline_training_corpus"]
+
+
+@_q(
     "extract_fused_flagship",
     f"""
     SELECT 'https://testdata/doc/' || CAST(doc_id AS VARCHAR) AS url,
@@ -3316,7 +3384,8 @@ _PRIORITY = [
     "extract_flagship", "extract_fused_flagship",
     "extract_pdf_flagship", "extract_pdf_encrypted", "extract_pdf_fonts",
     "extract_arch_wide", "extract_arch_trained",
-    "pipeline_training_corpus", "skew_two_phase_agg",
+    "pipeline_training_corpus", "pipeline_wet_corpus",
+    "skew_two_phase_agg",
     # multimodal rows (real kernels under the gate)
     "mm_media_stats", "mm_feature_extract",
     "mm_audio_features", "mm_video_meta", "mm_video_frames",

@@ -373,12 +373,17 @@ def read_warc_ranges(spark: SparkSession, shards) -> DataFrame:
 
 
 def _record(rec_type: str, url: str, ts: str, payload: bytes) -> bytes:
+    ctype = (
+        "application/http; msgtype=response"
+        if rec_type == "response"
+        else "text/plain"  # conversion/resource records (WET shape)
+    )
     head = (
         f"WARC/1.0\r\n"
         f"WARC-Type: {rec_type}\r\n"
         f"WARC-Target-URI: {url}\r\n"
         f"WARC-Date: {ts}\r\n"
-        f"Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Type: {ctype}\r\n"
         f"Content-Length: {len(payload)}\r\n\r\n"
     ).encode("ascii")
     return head + payload + b"\r\n\r\n"
@@ -411,3 +416,41 @@ def build_warc(
         else:
             out += rec
     return bytes(out)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Common-Crawl WET (extracted-text) ingestion: WET files are WARC
+    files whose ``conversion`` records carry the ALREADY-EXTRACTED
+    plain text of each page, so this source feeds the text funnel
+    (C4/Gopher/langid/dedup — ``plans.training_corpus.
+    corpus_features_from_text``) directly, skipping the HTML parse and
+    extraction stages entirely.  Same plan shape as :func:`read_warc`
+    (binaryFile scan -> one Arrow parse stage, no shuffle); the decode
+    to string is a JVM-side projection."""
+    recs = read_warc(spark, path)
+    from pyspark.sql import functions as F
+
+    return recs.where(F.col("rec_type") == "conversion").select(
+        "url",
+        "warc_ts",
+        F.decode(F.col("html"), "UTF-8").alias("text"),
+        "warc_file",
+    )
+
+
+def build_wet(records: list[dict], per_record_gzip: bool = True) -> bytes:
+    """Serialize ``[{url, ts, text}]`` into WET bytes (WARC conversion
+    records, text/plain payloads, per-record gzip members like the
+    published Common-Crawl WET layout); deterministic."""
+    return build_warc(
+        [
+            {
+                "url": r["url"],
+                "ts": r["ts"],
+                "rec_type": "conversion",
+                "body": r["text"].encode("utf-8"),
+            }
+            for r in records
+        ],
+        per_record_gzip=per_record_gzip,
+    )

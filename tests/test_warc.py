@@ -238,3 +238,100 @@ def test_warc_range_shards_byte_identical(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_wet_roundtrip_and_read(spark, tmp_path):
+    """WET (Common-Crawl extracted-text) shape: build_wet serializes
+    conversion records with text/plain payloads; read_wet returns only
+    conversion records with the text decoded — mixed files keep
+    response records out of the WET view."""
+    from page_segmentation_spark.sources.warc import (
+        build_warc,
+        build_wet,
+        parse_warc_bytes,
+        read_wet,
+    )
+
+    recs = [
+        {"url": "https://a", "ts": "2024-01-01T00:00:00Z",
+         "text": "First extracted document.\n\nWith two paragraphs."},
+        {"url": "https://b", "ts": "2024-01-02T00:00:00Z",
+         "text": "Zweiter Text mit Umlauten: äöü."},
+    ]
+    data = build_wet(recs)
+    parsed = list(parse_warc_bytes(data))
+    assert [r["rec_type"] for r in parsed] == ["conversion"] * 2
+    assert parsed[0]["html"].decode() == recs[0]["text"]
+    assert b"text/plain" in data or True  # gz members: check plain form
+    plain = build_wet(recs, per_record_gzip=False)
+    assert b"Content-Type: text/plain" in plain
+
+    # mixed WET + response records in one dir: read_wet filters
+    mixed = data + build_warc(
+        [{"url": "https://c", "ts": "2024-01-03T00:00:00Z",
+          "body": b"<html><body><p>raw page</p></body></html>"}]
+    )
+    p = str(tmp_path / "chunk.warc.wet.gz")
+    with open(p, "wb") as f:
+        f.write(mixed)
+    out = {r["url"]: r["text"] for r in read_wet(spark, p).collect()}
+    assert out == {r["url"]: r["text"] for r in recs}
+
+
+def test_wet_feeds_text_funnel_identically(spark, tmp_path):
+    """A corpus built from WET text equals the corpus built from the
+    HTML pages whose extraction produced that text — same filter/dedup
+    code objects, extraction skipped."""
+    from page_segmentation_spark.oracle import extract_document
+    from page_segmentation_spark.packaging import ship_package
+    from page_segmentation_spark.plans.training_corpus import (
+        build_training_corpus,
+    )
+    from page_segmentation_spark.sources.warc import build_wet, read_wet
+
+    ship_package(spark)
+    body = (
+        "the quick brown fox jumps over the lazy dog and then rests "
+        "with a calm heart near the river bank every single day."
+    )
+    pages = []
+    for i in range(4):
+        html = (
+            "<!DOCTYPE html><html><body><article><h1>Doc %d</h1>"
+            "<p>%s number %d.</p><p>%s again number %d.</p></article>"
+            '<nav><a href="/">Home</a><a href="/a">About</a>'
+            '<a href="/b">More</a></nav></body></html>'
+            % (i, body, i, body, i)
+        ).encode()
+        pages.append((f"https://s/{i}", html))
+    pages_df = spark.createDataFrame(
+        [(u, None, h, None, None) for u, h in pages],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    opts = dict(
+        c4_opts=dict(min_kept_lines=1),
+        gopher_opts=dict(min_words=10),
+    )
+    want = sorted(
+        tuple(r) for r in build_training_corpus(pages_df, **opts).collect()
+    )
+    # WET twin: the oracle-extracted text of the same pages
+    wet = build_wet(
+        [
+            {"url": u, "ts": "2024-01-01T00:00:00Z",
+             "text": extract_document(h)["extracted_text"]}
+            for u, h in pages
+        ]
+    )
+    p = str(tmp_path / "c.warc.wet.gz")
+    with open(p, "wb") as f:
+        f.write(wet)
+    got = sorted(
+        tuple(r)
+        for r in build_training_corpus(
+            read_wet(spark, p).select("url", "text"),
+            from_text=True,
+            **opts,
+        ).collect()
+    )
+    assert got == want and len(got) == 4
