@@ -446,3 +446,35 @@ def paragraph_dedup(
         F.count(F.when(F.col("kept"), F.lit(1))).alias("n_kept"),
         F.count(F.when(~F.col("kept"), F.lit(1))).alias("n_removed"),
     )
+
+
+def latest_capture(
+    df: DataFrame, url_col: str = "url", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """URL-level capture dedup across crawl snapshots: one row per URL,
+    the most recent capture — the standard refresh shape when stacking
+    monthly Common-Crawl deliveries (a URL refetched in every crawl
+    must contribute ONE document to the corpus, the newest).
+
+    ONE aggregation: ``max`` over a struct ordered (ts, remaining
+    columns) — struct comparison is lexicographic, so equal-timestamp
+    duplicates tie-break deterministically on the remaining column
+    values (never ``first()``).  Catalyst plans struct-max as a
+    SortAggregate with MAP-SIDE partial aggregation (local sorts, not
+    hash buckets — structs are not hash-aggregable), which still scales:
+    each task reduces its captures before the single url-keyed
+    exchange, and URL keys are the highest-cardinality column in a
+    crawl so the agg partitions evenly (contrast host_cap's salted
+    two-phase form, needed because HOST keys skew).  No Window: a
+    row_number form would sort and keep EVERY capture of a URL on one
+    task with no partial reduction."""
+    rest = [c for c in df.columns if c != url_col]
+    if ts_col not in rest:
+        raise ValueError(f"{ts_col!r} not in columns")
+    ordered = [ts_col] + [c for c in rest if c != ts_col]
+    agg = df.groupBy(url_col).agg(
+        F.max(F.struct(*[F.col(c) for c in ordered])).alias("_cap")
+    )
+    return agg.select(
+        url_col, *[F.col(f"_cap.{c}").alias(c) for c in rest]
+    )

@@ -2373,6 +2373,57 @@ ORACLE_SQL["pipeline_wet_corpus"] = ORACLE_SQL["pipeline_training_corpus"]
 
 
 @_q(
+    "crawl_latest_capture",
+    """
+    WITH caps AS (
+      SELECT 'https://testdata/doc/' || CAST(doc_id AS VARCHAR) AS url,
+             CAST('2024-01-01' AS TIMESTAMP)
+               + CAST(t.k AS INT) * INTERVAL 1 DAY AS warc_ts,
+             'v' || CAST(t.k AS VARCHAR) || ' ' || text AS text
+      FROM documents,
+           unnest(generate_series(0, CAST(doc_id % 3 AS INT), 1)) AS t(k)
+    ), ranked AS (
+      SELECT url, warc_ts, text,
+             row_number() OVER (
+               PARTITION BY url ORDER BY warc_ts DESC, text DESC
+             ) AS rn
+      FROM caps
+    )
+    SELECT url, warc_ts, text FROM ranked WHERE rn = 1
+    """,
+)
+def crawl_latest_capture(spark, sf_dir):
+    """URL-level capture dedup across stacked crawl snapshots
+    (operators/dedup.latest_capture): each document synthesizes 1-3
+    dated captures (text versioned per capture) and exactly the newest
+    survives.  Spark side is ONE hash aggregate — max over a
+    (ts, text) struct, lexicographic, so the oracle's
+    row_number ORDER BY ts DESC, text DESC is the same total order —
+    no window, no per-URL sort task."""
+    import page_segmentation_spark.operators.dedup as D_
+
+    d = _t(spark, sf_dir, "documents")
+    caps = d.select(
+        F.concat(
+            F.lit("https://testdata/doc/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int"))
+        ).alias("k"),
+        F.col("text"),
+    ).select(
+        "url",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, k, 0, 0, 0)"
+        ).alias("warc_ts"),
+        F.concat(F.lit("v"), F.col("k").cast("string"), F.lit(" "),
+                 F.col("text")).alias("text"),
+    )
+    return D_.latest_capture(caps)
+
+
+@_q(
     "extract_fused_flagship",
     f"""
     SELECT 'https://testdata/doc/' || CAST(doc_id AS VARCHAR) AS url,
@@ -3393,6 +3444,7 @@ _PRIORITY = [
     "text_bpe_tokens", "text_host_cap", "sim_semantic_dedup",
     "dedup_components", "text_surprisal_buckets", "text_token_quantiles",
     # core LLM-pipeline ops
+    "crawl_latest_capture",
     "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_lsh_verified",
     "dedup_ngram_jaccard", "dedup_paragraphs", "dedup_decontaminate",

@@ -1337,3 +1337,36 @@ def test_token_quantiles_sampled_rate1_matches_exact_audit(spark):
         for p in ("p25", "p50", "p75", "p90"):
             # sampled rank error: stay within 20% of the exact value
             assert abs(s[p] - e[p]) <= max(2, 0.2 * e[p]), (lang, p, s, e)
+
+
+def test_latest_capture_semantics(spark):
+    from datetime import datetime
+
+    from page_segmentation_spark.operators.dedup import latest_capture
+
+    df = spark.createDataFrame(
+        [
+            ("u1", datetime(2024, 1, 1), "old"),
+            ("u1", datetime(2024, 3, 1), "new"),
+            ("u1", datetime(2024, 2, 1), "mid"),
+            ("u2", datetime(2024, 1, 1), "only"),
+            # equal timestamps: deterministic tie-break on text (max)
+            ("u3", datetime(2024, 1, 1), "aaa"),
+            ("u3", datetime(2024, 1, 1), "zzz"),
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    out = {r["url"]: (r["warc_ts"], r["text"])
+           for r in latest_capture(df).collect()}
+    assert out == {
+        "u1": (datetime(2024, 3, 1), "new"),
+        "u2": (datetime(2024, 1, 1), "only"),
+        "u3": (datetime(2024, 1, 1), "zzz"),
+    }
+    # plan: aggregation with map-side partial reduction, never a Window
+    # (row_number would keep every capture of a url on one task); the
+    # SortAggregate's local sorts are partition-local (global=false)
+    plan = latest_capture(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max" in plan  # map-side combine before the exchange
+    assert ", true, 0" not in plan  # no global sort anywhere
