@@ -954,3 +954,57 @@ def c4_line_filter(
         (n_lines - n_kept).cast("long").alias("n_removed"),
         page_kept.cast("int").alias("page_kept"),
     )
+
+
+def url_blocklist_filter(
+    df,
+    blocklist,
+    url_col: str = "url",
+    max_labels: int = 5,
+):
+    """Domain blocklist filter — the UT1/adult-list gate every crawl
+    pipeline runs before anything else: drop a document when its host
+    IS a blocked domain or is a SUBDOMAIN of one (``host == d`` or
+    ``host`` ends with ``"." + d``).
+
+    ``blocklist`` is a one-column DataFrame (``domain``) of hosts /
+    registrable domains.  Scale shape: the candidate suffixes of a host
+    are enumerated JVM-side (the last 2..``max_labels`` labels plus the
+    exact host — bounded, no explode) and each checks membership
+    through its own BROADCAST left join, so the whole gate is
+    zero-shuffle map-side work; real blocklists (UT1 is a few M rows)
+    broadcast comfortably.  Hosts deeper than ``max_labels`` labels
+    still match any blocked suffix within the last ``max_labels``
+    labels and the exact host; a blocked domain deeper than that is
+    outside the declared match depth (raise ``max_labels``).
+
+    Output: the KEPT rows (input columns + ``host``)."""
+    host = url_host(F.col(url_col))
+    out = df.select("*", host.alias("host"))
+    parts = F.split(F.col("host"), r"\.")
+    checks = []
+    bl = blocklist.select(F.col("domain"))
+    for k in range(2, max_labels + 1):
+        suf = F.when(
+            F.size(parts) >= k, F.array_join(F.slice(parts, -k, k), ".")
+        )
+        flag = f"__blk{k}"
+        out = out.withColumn(f"__suf{k}", suf).join(
+            F.broadcast(bl.select(F.col("domain").alias(f"__suf{k}"),
+                                  F.lit(1).alias(flag))),
+            f"__suf{k}",
+            "left",
+        )
+        checks.append(F.col(flag))
+    exact = "__blk_exact"
+    out = out.join(
+        F.broadcast(bl.select(F.col("domain").alias("host"),
+                              F.lit(1).alias(exact))),
+        "host",
+        "left",
+    )
+    checks.append(F.col(exact))
+    blocked = F.coalesce(*checks, F.lit(None)).isNotNull()
+    drop = [f"__suf{k}" for k in range(2, max_labels + 1)]
+    drop += [f"__blk{k}" for k in range(2, max_labels + 1)] + [exact]
+    return out.where(~blocked).drop(*drop)

@@ -2373,6 +2373,51 @@ ORACLE_SQL["pipeline_wet_corpus"] = ORACLE_SQL["pipeline_training_corpus"]
 
 
 @_q(
+    "text_url_blocklist",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://sub' || CAST(doc_id % 7 AS VARCHAR) || '.site'
+               || CAST(doc_id % 20 AS VARCHAR)
+               || '.example/page/' || CAST(doc_id AS VARCHAR) AS url,
+             'sub' || CAST(doc_id % 7 AS VARCHAR) || '.site'
+               || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host
+      FROM documents
+    ), bl AS (
+      SELECT * FROM (VALUES ('site3.example'), ('site17.example'),
+                            ('sub2.site5.example')) AS t(domain)
+    )
+    SELECT doc_id, url, host FROM u
+    WHERE NOT EXISTS (
+      SELECT 1 FROM bl
+      WHERE u.host = bl.domain
+         OR u.host LIKE '%.' || bl.domain
+    )
+    """,
+)
+def text_url_blocklist(spark, sf_dir):
+    """UT1-style domain blocklist gate
+    (functions/text.url_blocklist_filter): hosts under blocked domains
+    drop (exact host or any-subdomain match), everything else passes.
+    Zero-shuffle: bounded suffix enumeration + one broadcast left join
+    per suffix depth (plan-audited no Exchange, no nested-loop join);
+    oracle is the EXISTS suffix-LIKE form."""
+    bl = spark.createDataFrame(
+        [("site3.example",), ("site17.example",), ("sub2.site5.example",)],
+        "domain string",
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://sub"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".site"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example/page/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return T.url_blocklist_filter(d, bl).select("doc_id", "url", "host")
+
+
+@_q(
     "crawl_latest_capture",
     """
     WITH caps AS (
@@ -3444,7 +3489,7 @@ _PRIORITY = [
     "text_bpe_tokens", "text_host_cap", "sim_semantic_dedup",
     "dedup_components", "text_surprisal_buckets", "text_token_quantiles",
     # core LLM-pipeline ops
-    "crawl_latest_capture",
+    "crawl_latest_capture", "text_url_blocklist",
     "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_lsh_verified",
     "dedup_ngram_jaccard", "dedup_paragraphs", "dedup_decontaminate",

@@ -1370,3 +1370,30 @@ def test_latest_capture_semantics(spark):
     assert "Window" not in plan
     assert "partial_max" in plan  # map-side combine before the exchange
     assert ", true, 0" not in plan  # no global sort anywhere
+
+
+def test_url_blocklist_filter_semantics_and_plan(spark):
+    bl = spark.createDataFrame(
+        [("bad.example",), ("sub2.site5.example",)], "domain string"
+    )
+    df = spark.createDataFrame(
+        [
+            ("https://ok.example/a",),
+            ("https://bad.example/x",),           # exact domain
+            ("https://deep.sub.bad.example/y",),  # subdomain, depth 4
+            ("https://notbad.example/z",),        # suffix NOT on a label
+            ("https://bad.example.evil/w",),      # blocked name mid-host
+            ("https://sub2.site5.example/q",),    # 3-label exact
+        ],
+        "url string",
+    )
+    kept = T.url_blocklist_filter(df, bl)
+    assert sorted(r["url"] for r in kept.collect()) == [
+        "https://bad.example.evil/w",
+        "https://notbad.example/z",
+        "https://ok.example/a",
+    ]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan  # zero-shuffle gate
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
