@@ -478,3 +478,104 @@ def latest_capture(
     return agg.select(
         url_col, *[F.col(f"_cap.{c}").alias(c) for c in rest]
     )
+
+
+def duplicate_span_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 50,
+) -> DataFrame:
+    """SUBSTRING-level exact dedup — the Lee et al. 2022 recipe
+    ("Deduplicating Training Data Makes Language Models Better"):
+    any k-word span that occurs more than once ACROSS THE CORPUS is
+    removed from every occurrence except the lexicographically-first
+    (min (id, position)) — catching boilerplate and quotes that
+    document-level and paragraph-level dedup both miss.
+
+    Output: (id, clean_text, n_words, n_scrubbed).
+
+    Plan shape (all linear, no quadratic step):
+      1. per doc, the k-gram STARTING at each word position is hashed
+         JVM-side (transform over a position sequence + md5 of the
+         slice join — O(n·k) chars hashed; the rolling-hash kernel is
+         the constant-factor upgrade at 100 TB) and exploded: O(words)
+         rows;
+      2. ONE hash agg keyed by gram hash picks each gram's keeper =
+         min (id, pos) struct and its occurrence count;
+      3. duplicated non-keeper starts join back (hash equi-join) and
+         expand to their covered word positions (sequence+explode,
+         O(k) per duplicated start only);
+      4. one doc-keyed agg rebuilds the text from surviving positions
+         (array_sort(collect_list(struct(pos, word))) — the engine's
+         ordered-output discipline).
+
+    Word tokenization is the whitespace split of the NORMALIZED text
+    (same unit as the MinHash/decontamination shingles)."""
+    words_arr = F.split(normalized(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col).alias("id"), words_arr.alias("words")
+    ).withColumn("n_words", F.size("words"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("n_words") - k, F.lit(-1))
+    )
+    grams = base.select(
+        "id",
+        "n_words",
+        F.explode(
+            F.transform(
+                starts,
+                lambda p: F.struct(
+                    p.alias("pos"),
+                    F.md5(
+                        F.array_join(F.slice("words", p + 1, k), " ")
+                    ).alias("gh"),
+                ),
+            )
+        ).alias("g"),
+    ).select("id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
+    keeper = grams.groupBy("gh").agg(
+        F.min(F.struct("id", "pos")).alias("keep"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    dup_starts = (
+        grams.join(keeper, "gh")
+        .where(
+            (F.col("n_occ") > 1)
+            & ~(
+                (F.col("id") == F.col("keep.id"))
+                & (F.col("pos") == F.col("keep.pos"))
+            )
+        )
+        .select("id", "pos")
+    )
+    covered = dup_starts.select(
+        "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("wpos")
+    ).distinct()
+    positioned = base.select(
+        "id", "n_words", F.posexplode("words").alias("wpos", "word")
+    )
+    survivors = positioned.join(covered, ["id", "wpos"], "left_anti")
+    rebuilt = survivors.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wpos", "word"))),
+                lambda x: x.getField("word"),
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    # fully-scrubbed documents still get a row (empty clean_text) —
+    # doc-keyed equi-join, same key as the rebuild agg
+    return (
+        base.select("id", "n_words")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_words"),
+            (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .alias("n_scrubbed"),
+        )
+    )

@@ -2372,6 +2372,89 @@ def pipeline_wet_corpus(spark, sf_dir):
 ORACLE_SQL["pipeline_wet_corpus"] = ORACLE_SQL["pipeline_training_corpus"]
 
 
+_BOILER_SPAN = (
+    "subscribe to our newsletter for weekly updates and exclusive offers"
+)
+
+
+@_q(
+    "dedup_span_scrub",
+    f"""
+    WITH docs AS (
+      SELECT doc_id AS id,
+             string_split(regexp_replace(lower(trim(
+               CASE WHEN doc_id % 3 = 0
+                    THEN text || ' {_BOILER_SPAN}' ELSE text END
+             )), '\\s+', ' ', 'g'), ' ') AS words
+      FROM documents
+    ), g AS (
+      SELECT id, CAST(t.p AS INT) AS pos,
+             md5(array_to_string(words[CAST(t.p AS INT) + 1
+                                       : CAST(t.p AS INT) + 10], ' ')) AS gh
+      FROM docs,
+           unnest(generate_series(0, len(words) - 10, 1)) AS t(p)
+      WHERE len(words) >= 10
+    ), marked AS (
+      SELECT id, pos,
+             row_number() OVER (PARTITION BY gh ORDER BY id, pos) AS rn,
+             count(*) OVER (PARTITION BY gh) AS n_occ
+      FROM g
+    ), covered AS (
+      SELECT DISTINCT id, CAST(t.w AS INT) AS wpos
+      FROM (SELECT id, pos FROM marked WHERE n_occ > 1 AND rn > 1),
+           unnest(generate_series(pos, pos + 9, 1)) AS t(w)
+    ), wordpos AS (
+      SELECT id, CAST(t.i AS INT) - 1 AS wpos,
+             words[CAST(t.i AS INT)] AS word, len(words) AS n_words
+      FROM docs, unnest(generate_series(1, len(words), 1)) AS t(i)
+    ), surv AS (
+      SELECT w.id, w.wpos, w.word FROM wordpos w
+      WHERE NOT EXISTS (SELECT 1 FROM covered c
+                        WHERE c.id = w.id AND c.wpos = w.wpos)
+    ), rebuilt AS (
+      SELECT id, string_agg(word, ' ' ORDER BY wpos) AS clean_text,
+             count(*) AS n_kept
+      FROM surv GROUP BY id
+    )
+    SELECT d.id AS doc_id,
+           coalesce(r.clean_text, '') AS clean_text,
+           CAST(max(d.n_words) AS INT) AS n_words,
+           CAST(max(d.n_words) - coalesce(max(r.n_kept), 0) AS INT)
+             AS n_scrubbed
+    FROM (SELECT DISTINCT id, n_words FROM wordpos) d
+    LEFT JOIN rebuilt r ON r.id = d.id
+    GROUP BY d.id, r.clean_text
+    """,
+)
+def dedup_span_scrub(spark, sf_dir):
+    """SUBSTRING-level exact dedup (operators/dedup.duplicate_span_scrub
+    — the Lee et al. 2022 recipe): every 10-word span occurring more
+    than once corpus-wide is scrubbed from all but its min-(id, pos)
+    occurrence.  Fixture appends a shared boilerplate sentence to every
+    third document, so the scrub must remove it from all but the first
+    WITHOUT touching the surrounding unique text; the oracle recomputes
+    keeper selection, covered positions, and ordered rebuild
+    independently (window rank vs struct-min — same total order)."""
+    import page_segmentation_spark.operators.dedup as D_
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + _BOILER_SPAN)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = D_.duplicate_span_scrub(d, "doc_id", "text", k=10)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_scrubbed").cast("int").alias("n_scrubbed"),
+    )
+
+
 @_q(
     "text_url_blocklist",
     """
@@ -3489,7 +3572,7 @@ _PRIORITY = [
     "text_bpe_tokens", "text_host_cap", "sim_semantic_dedup",
     "dedup_components", "text_surprisal_buckets", "text_token_quantiles",
     # core LLM-pipeline ops
-    "crawl_latest_capture", "text_url_blocklist",
+    "crawl_latest_capture", "text_url_blocklist", "dedup_span_scrub",
     "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_lsh_verified",
     "dedup_ngram_jaccard", "dedup_paragraphs", "dedup_decontaminate",

@@ -1397,3 +1397,43 @@ def test_url_blocklist_filter_semantics_and_plan(spark):
     assert "Exchange hashpartitioning" not in plan  # zero-shuffle gate
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_duplicate_span_scrub_lee_semantics(spark):
+    """Lee-et-al substring dedup: the min-(id,pos) occurrence of a
+    duplicated k-gram keeps, every other occurrence's covered words
+    drop — including a doc scrubbed to empty (still emitted), and
+    untouched docs pass through normalized."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta unique tail"),
+        (1, "prefix one alpha beta gamma delta epsilon zeta eta theta x"),
+        (2, "totally different words with no overlap whatsoever here"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_words"], r["n_scrubbed"])
+        for r in D.duplicate_span_scrub(df, "doc_id", "text", k=8).collect()
+    }
+    assert out[0] == (rows[0][1], 10, 0)       # keeper: untouched
+    assert out[1] == ("prefix one x", 11, 8)   # span cut mid-doc
+    assert out[2] == (rows[2][1], 8, 0)        # no dup: untouched
+    assert out[3] == ("", 8, 8)                # fully scrubbed, still a row
+
+
+def test_duplicate_span_scrub_overlapping_spans_merge(spark):
+    """Overlapping duplicated windows cover a union of positions, not
+    double-count: a 10-word repeat shared between two docs with k=8
+    yields three overlapping duplicated 8-grams in the copy — all 10
+    words scrubbed once."""
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    df = spark.createDataFrame(
+        [(0, shared + " endfirst"), (1, "copy starts " + shared)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_scrubbed"])
+        for r in D.duplicate_span_scrub(df, "doc_id", "text", k=8).collect()
+    }
+    assert out[0] == (shared + " endfirst", 0)
+    assert out[1] == ("copy starts", 10)
