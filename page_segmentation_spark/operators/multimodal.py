@@ -603,3 +603,71 @@ def frame_sample_plan(
         F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every_n)
     )
     return df.withColumn("frame_idx", F.explode(idxs))
+
+
+def resize_nearest(
+    pixels: bytes, w: int, h: int, ch: int, out_w: int, out_h: int
+) -> "np.ndarray":
+    """Nearest-neighbor resize of a decoded (h, w, ch) pixel buffer to
+    (out_h, out_w, ch) — pure numpy fancy-indexing (two integer index
+    vectors, no Python pixel loop).  Source coordinate = floor(target *
+    src / dst), the standard NN convention; exact integer arithmetic so
+    the SQL oracle reproduces every output pixel."""
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, ch)
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return arr[ys][:, xs]
+
+
+RESIZE_FEATURE_SCHEMA_SUFFIX = (
+    "width int, height int, channels int, px_mean double"
+)
+
+
+def extract_resized_features(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    payload_col: str = "payload",
+    id_cols: tuple = ("url", "media_idx"),
+) -> DataFrame:
+    """decode -> nearest-neighbor resize -> exact channel stats in ONE
+    Arrow stage: the standard thumbnail/model-input normalization step
+    of a multimodal training pipeline (every vision encoder wants a
+    fixed input grid).  px_mean is an int64 sum over the RESIZED buffer
+    with a single division; undecodable payloads emit NULL features
+    (same contract as extract_features)."""
+    cols = list(id_cols) + [payload_col]
+    pruned = df.select(*cols)
+    out_schema = (
+        ", ".join(f"{c} string" if c == "url" else f"{c} int" for c in id_cols)
+        + ", " + RESIZE_FEATURE_SCHEMA_SUFFIX
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                ids = tuple(row[c] for c in id_cols)
+                p = row[payload_col]
+                if p is None:
+                    rows.append(ids + (None,) * 4)
+                    continue
+                try:
+                    w, h, ch, px = decode_image(bytes(p))
+                    small = resize_nearest(px, w, h, ch, out_w, out_h)
+                except (ValueError, struct.error, IndexError):
+                    rows.append(ids + (None,) * 4)
+                    continue
+                total = int(np.sum(small, dtype=np.int64))
+                rows.append(
+                    ids + (out_w, out_h, ch,
+                           total / (out_w * out_h * ch))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=list(id_cols)
+                + ["width", "height", "channels", "px_mean"],
+            )
+
+    return pruned.mapInPandas(kernel, schema=out_schema)

@@ -3475,6 +3475,69 @@ def mm_video_meta(spark, sf_dir):
 
 
 @_q(
+    "mm_image_resize",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             4 + CAST(doc_id % 5 AS INT) * 2 AS w,
+             4 + CAST(doc_id % 3 AS INT) * 2 AS h,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS ch
+      FROM documents WHERE doc_id < 60
+    ), px AS (
+      SELECT doc_id, ch,
+             (7 * ((xs.x * w) // 6) + 13 * ((ys.y * h) // 6)
+              + 31 * doc_id + 17 * cs.c) % 256 AS v
+      FROM m,
+           unnest(generate_series(0, 5)) AS xs(x),
+           unnest(generate_series(0, 5)) AS ys(y),
+           unnest(generate_series(0, ch - 1)) AS cs(c)
+    )
+    SELECT doc_id,
+           CAST(6 AS INT) AS width, CAST(6 AS INT) AS height,
+           CAST(max(ch) AS INT) AS channels,
+           CAST(sum(v) AS DOUBLE) / count(*) AS px_mean
+    FROM px GROUP BY doc_id
+    """,
+)
+def mm_image_resize(spark, sf_dir):
+    """REAL decode + nearest-neighbor resize under the driver gate
+    (operators/multimodal.resize_nearest — numpy fancy-indexing, source
+    coord = floor(target*src/dst)): the same PNG/BMP payloads as
+    mm_feature_extract are decoded and resized to a fixed 6x6 grid (the
+    vision-encoder input-normalization step), and the oracle recomputes
+    every RESIZED pixel from the closed form composed with the integer
+    floor mapping — a wrong rounding convention or axis swap fails the
+    hash."""
+    import pandas as pd
+
+    from page_segmentation_spark.datagen import make_media_payload
+    from page_segmentation_spark.operators import multimodal as MM
+    from page_segmentation_spark.packaging import ship_package
+
+    ship_package(spark)
+    ids = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select(
+        F.col("doc_id").cast("int").alias("media_idx")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            out = pdf[["media_idx"]].copy()
+            out["payload"] = [
+                make_media_payload(int(i)) for i in pdf["media_idx"]
+            ]
+            yield out
+
+    media = ids.mapInPandas(synth, schema="media_idx int, payload binary")
+    feats = MM.extract_resized_features(
+        media, out_w=6, out_h=6, id_cols=("media_idx",)
+    )
+    return feats.select(
+        F.col("media_idx").cast("long").alias("doc_id"),
+        "width", "height", "channels", "px_mean",
+    )
+
+
+@_q(
     "mm_video_frames",
     """
     WITH p AS (
@@ -3568,6 +3631,7 @@ _PRIORITY = [
     # multimodal rows (real kernels under the gate)
     "mm_media_stats", "mm_feature_extract",
     "mm_audio_features", "mm_video_meta", "mm_video_frames",
+    "mm_image_resize",
     # operators changed this round (fresh rows wanted on record)
     "text_bpe_tokens", "text_host_cap", "sim_semantic_dedup",
     "dedup_components", "text_surprisal_buckets", "text_token_quantiles",

@@ -1437,3 +1437,41 @@ def test_duplicate_span_scrub_overlapping_spans_merge(spark):
     }
     assert out[0] == (shared + " endfirst", 0)
     assert out[1] == ("copy starts", 10)
+
+
+def test_resize_nearest_exact_mapping():
+    import numpy as np
+
+    # 6x4 gray ramp -> 3x2: source coord = floor(target * src / dst)
+    a = np.arange(4 * 6, dtype=np.uint8).tobytes()
+    r = MM.resize_nearest(a, 6, 4, 1, 3, 2)
+    assert r.shape == (2, 3, 1)
+    assert r[:, :, 0].tolist() == [[0, 2, 4], [12, 14, 16]]
+    # upscale repeats source pixels (floor mapping)
+    up = MM.resize_nearest(bytes([1, 2, 3, 4]), 2, 2, 1, 4, 4)
+    assert up[:, :, 0].tolist() == [
+        [1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 4, 4], [3, 3, 4, 4]
+    ]
+
+
+def test_extract_resized_features(spark):
+    from page_segmentation_spark.datagen import make_media_payload, media_dims
+    from page_segmentation_spark.packaging import ship_package
+
+    ship_package(spark)
+    df = spark.createDataFrame(
+        [("u", 4, bytearray(make_media_payload(4))),
+         ("u", 1, bytearray(b"junk"))],
+        "url string, media_idx int, payload binary",
+    )
+    out = {r["media_idx"]: r for r in
+           MM.extract_resized_features(df, 6, 6).collect()}
+    w, h, ch = media_dims(4)
+    total = sum(
+        (7 * ((x * w) // 6) + 13 * ((y * h) // 6) + 31 * 4 + 17 * c) % 256
+        for x in range(6) for y in range(6) for c in range(ch)
+    )
+    r = out[4]
+    assert (r["width"], r["height"], r["channels"]) == (6, 6, ch)
+    assert r["px_mean"] == total / (36 * ch)
+    assert out[1]["px_mean"] is None  # undecodable -> NULL features
