@@ -37,7 +37,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from page_segmentation_spark.plans.training_corpus import corpus_features
+from page_segmentation_spark.plans.training_corpus import (
+    corpus_features,
+    corpus_features_from_text,
+)
 
 CORPUS_OUTPUT_SCHEMA = (
     "url string, lang string, n_tokens long, content_fp string, "
@@ -77,6 +80,24 @@ def corpus_stream(
     write with ``outputMode("update")`` (emissions are one-shot, so
     append semantics hold at the sink)."""
     feats = corpus_features(pages, c4_opts, gopher_opts, fused=True)
+    return _first_seen_dedup(feats)
+
+
+def corpus_stream_from_text(
+    docs: DataFrame,
+    c4_opts: dict | None = None,
+    gopher_opts: dict | None = None,
+) -> DataFrame:
+    """(streaming) WET-shaped (url, text) -> first-seen deduplicated
+    corpus rows: the identical stateless funnel with the extract stage
+    skipped (corpus_features_from_text — pure projections, stream-safe)
+    feeding the same stateful dedup."""
+    return _first_seen_dedup(corpus_features_from_text(
+        docs, c4_opts=c4_opts, gopher_opts=gopher_opts
+    ))
+
+
+def _first_seen_dedup(feats: DataFrame) -> DataFrame:
     return feats.groupBy("content_fp").applyInPandasWithState(
         _first_corpus_fn,
         outputStructType=CORPUS_OUTPUT_SCHEMA,
@@ -95,9 +116,12 @@ def stream_training_corpus(
     gopher_opts: dict | None = None,
     trigger_available_now: bool = True,
     max_files_per_trigger: int = 16,
+    wet: bool = False,
 ):
     """Run the continuous corpus build off a WARC landing directory and
     append surviving first-seen rows to ``output_path`` (parquet).
+    ``wet=True`` treats the landing files as WET (extracted text in
+    conversion records) and skips the extract stage.
 
     Each WARC file is consumed exactly once (file-source checkpointing);
     corpus rows emit exactly once per distinct fingerprint (state), so
@@ -114,14 +138,23 @@ def stream_training_corpus(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(warc_path)
     )
-    pages = warc_records(files).select(
-        "url",
-        "warc_ts",
-        "html",
-        F.lit(None).cast("string").alias("text"),
-        F.lit(None).cast("string").alias("lang"),
-    )
-    out = corpus_stream(pages, c4_opts, gopher_opts)
+    recs = warc_records(files)
+    if wet:
+        # WET landing dir: conversion records carry extracted text —
+        # skip the extract stage, identical downstream funnel
+        docs = recs.where(F.col("rec_type") == "conversion").select(
+            "url", F.decode(F.col("html"), "UTF-8").alias("text")
+        )
+        out = corpus_stream_from_text(docs, c4_opts, gopher_opts)
+    else:
+        pages = recs.select(
+            "url",
+            "warc_ts",
+            "html",
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+        out = corpus_stream(pages, c4_opts, gopher_opts)
 
     def write_batch(df: DataFrame, _bid: int) -> None:
         df.write.mode("append").parquet(output_path)

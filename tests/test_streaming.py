@@ -446,3 +446,55 @@ def test_corpus_compaction_matches_batch_neardup(spark, tmp_path):
     # unchanged sink -> recorded no-op
     res2 = compact_corpus(spark, sink, compacted, mark, neardup_opts=nd_opts)
     assert res2 == {"skipped": True, "rows_in": 4, "rows_kept": 3}
+
+
+def test_stream_training_corpus_wet(spark, tmp_path):
+    """The streaming corpus builder over a WET landing dir: conversion
+    records feed the same funnel with extraction skipped; cross-batch
+    first-seen dedup holds across two cycles."""
+    import os
+
+    from page_segmentation_spark.packaging import ship_package
+    from page_segmentation_spark.sources.warc import build_wet
+    from page_segmentation_spark.streaming.corpus_stream import (
+        stream_training_corpus,
+    )
+
+    ship_package(spark)
+    src = str(tmp_path / "wet_in")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    os.makedirs(src)
+    body = (
+        "the quick brown fox jumps over the lazy dog and then rests "
+        "with a calm heart near the river bank every single day."
+    )
+
+    def doc(i):
+        return {
+            "url": f"https://s/{i}",
+            "ts": "2024-01-01T00:00:00Z",
+            "text": f"{body} number {i}.\n{body} again number {i}.",
+        }
+
+    opts = dict(
+        c4_opts=dict(min_kept_lines=1), gopher_opts=dict(min_words=10)
+    )
+    with open(os.path.join(src, "c1.warc.wet.gz"), "wb") as f:
+        f.write(build_wet([doc(0), doc(1)]))
+    stream_training_corpus(
+        spark, src, sink, ckpt, wet=True, **opts
+    ).awaitTermination(180)
+    # cycle 2 re-delivers doc 1 (different url, same content) + a new doc
+    dup = dict(doc(1), url="https://mirror/1")
+    with open(os.path.join(src, "c2.warc.wet.gz"), "wb") as f:
+        f.write(build_wet([dup, doc(2)]))
+    stream_training_corpus(
+        spark, src, sink, ckpt, wet=True, **opts
+    ).awaitTermination(180)
+
+    rows = spark.read.parquet(sink).collect()
+    assert {r["url"] for r in rows} == {
+        "https://s/0", "https://s/1", "https://s/2"
+    }
+    assert all(r["n_tokens"] > 0 and r["lang"] == "en" for r in rows)
