@@ -671,3 +671,75 @@ def extract_resized_features(
             )
 
     return pruned.mapInPandas(kernel, schema=out_schema)
+
+
+AUDIO_SEGMENT_SCHEMA_SUFFIX = (
+    "seg_idx int, seg_frames int, rms double"
+)
+
+
+def audio_segment_features(
+    payload: Optional[bytes], n_segments: int = 4
+) -> Optional[List[Tuple[int, int, float]]]:
+    """Windowed audio features — the frame-sampling analog for audio:
+    the clip's frames are partitioned into ``n_segments`` contiguous
+    windows (frame f -> segment (f * n_segments) // n_frames, the exact
+    integer convention the SQL oracle shares) and each window reduces
+    to (seg_idx, seg_frames, rms).  Vectorized: one int64 bincount of
+    squared samples per segment, one division + sqrt per segment."""
+    if not payload:
+        return None
+    try:
+        _rate, ch, samples = decode_wav(bytes(payload))
+    except (ValueError, struct.error, IndexError):
+        return None
+    n_frames = len(samples) // ch
+    if n_frames == 0:
+        return None
+    s64 = samples.astype(np.int64)
+    sq = (s64 * s64).reshape(n_frames, ch).sum(axis=1)
+    seg = (np.arange(n_frames, dtype=np.int64) * n_segments) // n_frames
+    seg_sq = np.bincount(seg, weights=sq, minlength=n_segments)
+    seg_n = np.bincount(seg, minlength=n_segments)
+    out = []
+    for i in range(n_segments):
+        n = int(seg_n[i])
+        if n == 0:
+            continue
+        out.append((i, n, float(np.sqrt(seg_sq[i] / (n * ch)))))
+    return out
+
+
+def extract_audio_segments(
+    df: DataFrame,
+    n_segments: int = 4,
+    payload_col: str = "payload",
+    id_cols: tuple = ("url", "media_idx"),
+) -> DataFrame:
+    """mapInPandas fan-out: one row per (clip, segment) — the audio twin
+    of extract_frame_features; undecodable payloads emit zero rows."""
+    cols = list(id_cols) + [payload_col]
+    pruned = df.select(*cols)
+    out_schema = (
+        ", ".join(f"{c} string" if c == "url" else f"{c} int" for c in id_cols)
+        + ", " + AUDIO_SEGMENT_SCHEMA_SUFFIX
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                p = row[payload_col]
+                segs = audio_segment_features(
+                    bytes(p) if p is not None else None, n_segments
+                )
+                if not segs:
+                    continue
+                ids = tuple(row[c] for c in id_cols)
+                rows.extend(ids + s for s in segs)
+            yield pd.DataFrame(
+                rows,
+                columns=list(id_cols) + ["seg_idx", "seg_frames", "rms"],
+            )
+
+    return pruned.mapInPandas(kernel, schema=out_schema)

@@ -3421,6 +3421,65 @@ def mm_audio_features(spark, sf_dir):
 
 
 @_q(
+    "mm_audio_segments",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             1 + CAST(doc_id % 2 AS INT) AS ch,
+             400 + CAST(doc_id % 7 AS INT) * 37 AS nf
+      FROM documents WHERE doc_id < 40
+    ), s AS (
+      SELECT doc_id, ch, nf,
+             CAST((fs.f * 4) // nf AS INT) AS seg_idx,
+             (doc_id * 2654435761 + fs.f * 40503 + cs.c * 9973) % 65536
+               - 32768 AS v
+      FROM m,
+           unnest(generate_series(0, nf - 1)) AS fs(f),
+           unnest(generate_series(0, ch - 1)) AS cs(c)
+    )
+    SELECT doc_id, seg_idx,
+           CAST(count(*) // max(ch) AS INT) AS seg_frames,
+           sqrt(CAST(sum(CAST(v AS BIGINT) * v) AS DOUBLE)
+                / count(*)) AS rms
+    FROM s GROUP BY doc_id, seg_idx
+    """,
+)
+def mm_audio_segments(spark, sf_dir):
+    """Windowed audio features under the driver gate
+    (operators/multimodal.audio_segment_features): each WAV clip's
+    frames partition into 4 contiguous windows (frame -> segment via
+    the shared (f*4)//n_frames integer convention) and every window's
+    RMS is an exact int64 bincount + one division + one sqrt; the
+    oracle recomputes per-segment sums from the PCM closed form, so a
+    boundary off-by-one fails the hash."""
+    import pandas as pd
+
+    from page_segmentation_spark.datagen import build_wav
+    from page_segmentation_spark.operators import multimodal as MM
+    from page_segmentation_spark.packaging import ship_package
+
+    ship_package(spark)
+    ids = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select(
+        F.col("doc_id").cast("int").alias("media_idx")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            out = pdf[["media_idx"]].copy()
+            out["payload"] = [build_wav(int(i)) for i in pdf["media_idx"]]
+            yield out
+
+    media = ids.mapInPandas(synth, schema="media_idx int, payload binary")
+    segs = MM.extract_audio_segments(
+        media, n_segments=4, id_cols=("media_idx",)
+    )
+    return segs.select(
+        F.col("media_idx").cast("long").alias("doc_id"),
+        "seg_idx", "seg_frames", "rms",
+    )
+
+
+@_q(
     "mm_video_meta",
     """
     SELECT doc_id,
@@ -3631,7 +3690,7 @@ _PRIORITY = [
     # multimodal rows (real kernels under the gate)
     "mm_media_stats", "mm_feature_extract",
     "mm_audio_features", "mm_video_meta", "mm_video_frames",
-    "mm_image_resize",
+    "mm_image_resize", "mm_audio_segments", "mm_audio_segments",
     # operators changed this round (fresh rows wanted on record)
     "text_bpe_tokens", "text_host_cap", "sim_semantic_dedup",
     "dedup_components", "text_surprisal_buckets", "text_token_quantiles",

@@ -1475,3 +1475,34 @@ def test_extract_resized_features(spark):
     assert (r["width"], r["height"], r["channels"]) == (6, 6, ch)
     assert r["px_mean"] == total / (36 * ch)
     assert out[1]["px_mean"] is None  # undecodable -> NULL features
+
+
+def test_audio_segment_features_boundaries():
+    import math
+
+    from page_segmentation_spark.datagen import (
+        audio_params,
+        audio_sample,
+        build_wav,
+    )
+
+    for d in (0, 3, 5):  # covers odd frame counts + both channel counts
+        rate, ch, nf = audio_params(d)
+        segs = MM.audio_segment_features(build_wav(d), 4)
+        exp = {}
+        for f in range(nf):
+            i = (f * 4) // nf  # the shared integer boundary convention
+            sq, n = exp.get(i, (0, 0))
+            exp[i] = (
+                sq + sum(
+                    audio_sample(d, f, c) ** 2 for c in range(ch)
+                ),
+                n + 1,
+            )
+        want = [
+            (i, n, math.sqrt(sq / (n * ch)))
+            for i, (sq, n) in sorted(exp.items())
+        ]
+        assert segs == want
+    assert MM.audio_segment_features(None, 4) is None
+    assert MM.audio_segment_features(b"junk", 4) is None
