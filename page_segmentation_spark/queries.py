@@ -2501,6 +2501,72 @@ def text_url_blocklist(spark, sf_dir):
 
 
 @_q(
+    "crawl_cdx_select",
+    """
+    WITH lines AS (
+      SELECT 'example,d' || CAST(doc_id AS VARCHAR) || ')/ '
+             || '20240101000000 '
+             || '{"url": "https://d' || CAST(doc_id AS VARCHAR)
+             || '.example/", "filename": "seg/f'
+             || CAST(doc_id % 4 AS VARCHAR)
+             || '.warc.gz", "offset": "' || CAST(doc_id * 1000 AS VARCHAR)
+             || '", "length": "' || CAST(500 + doc_id % 7 AS VARCHAR)
+             || '", "status": "' || CAST(CASE WHEN doc_id % 5 = 0
+                                              THEN 404 ELSE 200 END
+                                         AS VARCHAR)
+             || '", "mime": "text/html", "digest": ""}' AS line
+      FROM documents
+    ), parsed AS (
+      SELECT substr(line, 1, strpos(line, ' ') - 1) AS urlkey,
+             string_split(substr(line, strpos(line, ' ') + 1), ' ')[1]
+               AS ts,
+             substr(line, strpos(line, '{')) AS j
+      FROM lines
+    )
+    SELECT urlkey, ts,
+           json_extract_string(j, '$.url') AS url,
+           json_extract_string(j, '$.filename') AS filename,
+           CAST(json_extract_string(j, '$.offset') AS BIGINT) AS offset,
+           CAST(json_extract_string(j, '$.length') AS BIGINT) AS length,
+           CAST(json_extract_string(j, '$.status') AS INT) AS status,
+           json_extract_string(j, '$.mime') AS mime,
+           json_extract_string(j, '$.digest') AS digest
+    FROM parsed
+    WHERE CAST(json_extract_string(j, '$.status') AS INT) = 200
+    """,
+)
+def crawl_cdx_select(spark, sf_dir):
+    """CDXJ index parsing under the driver gate
+    (sources/cdx.parse_cdxj_lines — pure Catalyst substring split +
+    from_json, no Python): deterministic index lines built in-plan are
+    parsed to typed rows and filtered to status 200, exactly the
+    index-first access pattern (filter the index, fetch only matching
+    byte ranges — fetch_cdx_records composes with read_warc_ranges and
+    is pinned end-to-end by tests/test_warc.py).  Oracle parses the
+    SAME constructed lines with DuckDB string/JSON functions."""
+    from page_segmentation_spark.sources.cdx import parse_cdxj_lines
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    line = F.concat(
+        F.lit("example,d"), did, F.lit(")/ 20240101000000 "),
+        F.lit('{"url": "https://d'), did, F.lit('.example/", '),
+        F.lit('"filename": "seg/f'), (F.col("doc_id") % 4).cast("string"),
+        F.lit('.warc.gz", "offset": "'),
+        (F.col("doc_id") * 1000).cast("string"),
+        F.lit('", "length": "'),
+        (F.lit(500) + F.col("doc_id") % 7).cast("string"),
+        F.lit('", "status": "'),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("404")).otherwise(
+            F.lit("200")
+        ),
+        F.lit('", "mime": "text/html", "digest": ""}'),
+    )
+    idx = parse_cdxj_lines(d.select(line.alias("value")))
+    return idx.where(F.col("status") == 200)
+
+
+@_q(
     "crawl_latest_capture",
     """
     WITH caps AS (
@@ -3695,7 +3761,8 @@ _PRIORITY = [
     "text_bpe_tokens", "text_host_cap", "sim_semantic_dedup",
     "dedup_components", "text_surprisal_buckets", "text_token_quantiles",
     # core LLM-pipeline ops
-    "crawl_latest_capture", "text_url_blocklist", "dedup_span_scrub",
+    "crawl_latest_capture", "crawl_cdx_select",
+    "text_url_blocklist", "dedup_span_scrub",
     "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_lsh_verified",
     "dedup_ngram_jaccard", "dedup_paragraphs", "dedup_decontaminate",

@@ -335,3 +335,63 @@ def test_wet_feeds_text_funnel_identically(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) == 4
+
+
+def test_cdx_index_driven_fetch(spark, tmp_path):
+    """The production Common-Crawl access pattern end-to-end: filter the
+    CDXJ index, fetch ONLY matching records by byte range — the union
+    of machinery already pinned (member offsets, ranged reads) driven
+    by a real index file."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from page_segmentation_spark.sources.cdx import (
+        build_cdxj,
+        fetch_cdx_records,
+        read_cdxj,
+    )
+    from page_segmentation_spark.sources.warc import (
+        build_warc,
+        warc_member_offsets,
+    )
+
+    recs = [
+        {"url": f"https://h{i % 3}.example/p{i}",
+         "ts": "2024-01-01T00:00:00Z",
+         "body": f"<html><body><p>payload {i}</p></body></html>".encode(),
+         "status": 200 if i % 4 else 404}
+        for i in range(9)
+    ]
+    warc = build_warc(recs)
+    wpath = str(tmp_path / "f.warc.gz")
+    with open(wpath, "wb") as f:
+        f.write(warc)
+    offs = warc_member_offsets(warc) + [len(warc)]
+    cpath = str(tmp_path / "idx.cdxj")
+    with open(cpath, "wb") as f:
+        f.write(build_cdxj([
+            {"urlkey": f"example,h{i % 3})/p{i}", "ts": "20240101000000",
+             "url": recs[i]["url"], "filename": "f.warc.gz",
+             "offset": offs[i], "length": offs[i + 1] - offs[i],
+             "status": 200 if i % 4 else 404}
+            for i in range(9)
+        ]))
+    idx = read_cdxj(spark, cpath)
+    assert idx.count() == 9
+    ok = idx.where(F.col("status") == 200)
+    got = fetch_cdx_records(spark, ok, path_prefix=str(tmp_path) + "/")
+    want = sorted(r["url"] for i, r in enumerate(recs) if i % 4)
+    assert sorted(r["url"] for r in got.collect()) == want
+    # index-driven fetch is embarrassingly parallel: no shuffle anywhere
+    assert "Exchange" not in (
+        got._jdf.queryExecution().executedPlan().toString()
+    )
+    # malformed JSON tail: urlkey/ts survive, JSON fields NULL
+    from page_segmentation_spark.sources.cdx import parse_cdxj_lines
+
+    bad = spark.createDataFrame(
+        [("key 20240101000000 {broken",), ("nospace",)], "value string"
+    )
+    rows = parse_cdxj_lines(bad).collect()
+    assert rows[0]["urlkey"] == "key" and rows[0]["url"] is None
