@@ -116,3 +116,64 @@ def stratified_sample_summary(
         F.sum(kept).alias("n_kept"),
         F.round(F.max("rate"), 6).alias("rate"),
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    *,
+    group_col: str,
+    tokens_col: str,
+    key_col: str,
+    budget: int,
+    salt: str,
+    mode: str = "rate",
+) -> DataFrame:
+    """Data-mixing by TOKEN budget: keep documents per group (language,
+    source, domain bucket...) until the group's token budget is met —
+    the unit that matters when composing a training mixture is tokens,
+    not documents.
+
+    ``mode="exact"`` (fixture/oracle form): documents order by their
+    salted key hash (deterministic, engine-portable) and a per-group
+    cumulative token sum keeps every document that STARTS under the
+    budget — so the kept set always reaches at least ``budget`` tokens
+    (unless the group is smaller) and is a prefix of the hash order.
+    The running sum is one window per group: inherently sequential,
+    single task per group — the fixture twin, not the crawl path.
+
+    ``mode="rate"`` (scale path, default): ONE hash aggregate totals
+    each group's tokens, the keep-rate min(1, budget/total) broadcasts
+    back, and the same salted hash thresholds rows — zero windows, two
+    map-side stages around one small agg; expected kept tokens ==
+    budget with multiplicative concentration (documents are tiny vs a
+    real budget).  Same hash, same salt: the rate sample of a group is
+    NOT a prefix of the exact sample's order but draws from the same
+    uniform key, so audits can compare them group by group."""
+    u = sample_hash_u(F.col(key_col), salt)
+    if mode == "exact":
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(group_col)
+            .orderBy(u.asc(), F.col(key_col).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+        return (
+            df.withColumn("__before", before)
+            .where(F.col("__before") < budget)
+            .drop("__before")
+        )
+    if mode != "rate":
+        raise ValueError(f"unknown mode {mode!r}")
+    totals = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.sum(tokens_col).alias("__total")
+    )
+    rate = F.least(
+        F.lit(1.0), F.lit(float(budget)) / F.col("__total").cast("double")
+    )
+    return (
+        df.join(F.broadcast(totals), df[group_col] == F.col("__g"))
+        .where(u < rate * F.lit(HASH_SCALE))
+        .drop("__g", "__total")
+    )

@@ -2501,6 +2501,48 @@ def text_url_blocklist(spark, sf_dir):
 
 
 @_q(
+    "sample_token_budget",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+               AS n_tokens,
+             CAST({h32_sql("CAST(doc_id AS VARCHAR) || ':tb1'")}
+                  AS DOUBLE) AS u
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY u ASC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS before
+      FROM t
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM c WHERE before < 2000
+    """,
+)
+def sample_token_budget(spark, sf_dir):
+    """Token-budget mixing (operators/sampling.token_budget_sample,
+    exact form): per language, documents in salted-hash order keep
+    while the running token sum is under 2000 — the kept set is a
+    deterministic prefix reaching at least the budget.  The exact
+    cumulative window is the fixture/oracle twin; the production
+    ``mode=\"rate\"`` path (one agg + broadcast rate, zero windows) is
+    pinned against it by tests/test_components_sampling.py."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        T.token_count(F.col("text")).alias("n_tokens"),
+    )
+    return SA.token_budget_sample(
+        d, group_col="lang", tokens_col="n_tokens", key_col="doc_id",
+        budget=2000, salt="tb1", mode="exact",
+    ).select("doc_id", "lang", F.col("n_tokens").cast("long"))
+
+
+@_q(
     "crawl_cdx_select",
     """
     WITH lines AS (
@@ -3761,7 +3803,7 @@ _PRIORITY = [
     "text_bpe_tokens", "text_host_cap", "sim_semantic_dedup",
     "dedup_components", "text_surprisal_buckets", "text_token_quantiles",
     # core LLM-pipeline ops
-    "crawl_latest_capture", "crawl_cdx_select",
+    "crawl_latest_capture", "crawl_cdx_select", "sample_token_budget",
     "text_url_blocklist", "dedup_span_scrub",
     "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_lsh_verified",

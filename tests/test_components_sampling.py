@@ -281,3 +281,60 @@ def test_driver_fixture_converges_within_gated_iters(spark):
         "dedup_components fixture needs more than iters=4 to converge "
         f"(converged in {rounds} rounds) — bump iters in queries.py"
     )
+
+
+def test_token_budget_sample_exact_prefix(spark):
+    from page_segmentation_spark.operators import sampling as SA
+    from page_segmentation_spark.operators.sampling import sample_hash_u
+
+    rows = [(i, "g%d" % (i % 2), 100 + (i % 5) * 30) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, g string, toks long")
+    kept = SA.token_budget_sample(
+        df, group_col="g", tokens_col="toks", key_col="id",
+        budget=500, salt="s", mode="exact",
+    ).collect()
+    # recompute expected prefix per group in hash order
+    hashed = df.select(
+        "id", "g", "toks", sample_hash_u(F.col("id"), "s").alias("u")
+    ).collect()
+    for g in ("g0", "g1"):
+        seq = sorted(
+            ((r["u"], r["id"], r["toks"]) for r in hashed if r["g"] == g)
+        )
+        want, acc = set(), 0
+        for _u, i, t in seq:
+            if acc < 500:
+                want.add(i)
+            acc += t
+        got = {r["id"] for r in kept if r["g"] == g}
+        assert got == want, g
+        kept_toks = sum(t for _u, i, t in seq if i in want)
+        assert kept_toks >= 500  # budget reached (group is big enough)
+
+
+def test_token_budget_sample_rate_mode(spark):
+    from page_segmentation_spark.operators import sampling as SA
+
+    rows = [(i, "g", 100) for i in range(200)]  # 20k tokens total
+    df = spark.createDataFrame(rows, "id long, g string, toks long")
+    kept = SA.token_budget_sample(
+        df, group_col="g", tokens_col="toks", key_col="id",
+        budget=5000, salt="s", mode="rate",
+    )
+    n = kept.count()
+    # rate = 0.25 -> expected 50 docs; uniform hash concentrates tightly
+    assert 30 <= n <= 70
+    # determinism under repartition
+    n2 = SA.token_budget_sample(
+        df.repartition(7), group_col="g", tokens_col="toks",
+        key_col="id", budget=5000, salt="s", mode="rate",
+    ).count()
+    assert n == n2
+    # zero windows in the scale path
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # budget >= total keeps everything
+    assert SA.token_budget_sample(
+        df, group_col="g", tokens_col="toks", key_col="id",
+        budget=10**9, salt="s", mode="rate",
+    ).count() == 200
