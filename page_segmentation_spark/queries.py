@@ -3799,12 +3799,13 @@ _PRIORITY = [
     "mm_media_stats", "mm_feature_extract",
     "mm_audio_features", "mm_video_meta", "mm_video_frames",
     "mm_image_resize", "mm_audio_segments", "mm_audio_segments",
-    # operators changed this round (fresh rows wanted on record)
-    "text_bpe_tokens", "text_host_cap", "sim_semantic_dedup",
-    "dedup_components", "text_surprisal_buckets", "text_token_quantiles",
+    # round-5 additions (fresh rows wanted on record)
+    "dedup_span_scrub", "crawl_latest_capture", "crawl_cdx_select",
+    "sample_token_budget", "text_url_blocklist",
+    # operators changed r4/r5 (BPE oracle new, components checked)
+    "text_bpe_tokens", "dedup_components", "text_host_cap",
     # core LLM-pipeline ops
-    "crawl_latest_capture", "crawl_cdx_select", "sample_token_budget",
-    "text_url_blocklist", "dedup_span_scrub",
+    "sim_semantic_dedup", "text_surprisal_buckets", "text_token_quantiles",
     "dedup_exact", "dedup_minhash_signatures", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_lsh_verified",
     "dedup_ngram_jaccard", "dedup_paragraphs", "dedup_decontaminate",
