@@ -152,6 +152,7 @@ def gen_pages(n: int, seed: int = 42, start: int = 0) -> Iterator[Dict[str, obje
 HOSTILE_SHAPES = (
     "comments", "template", "split_article", "link_dense",
     "cookie_banner", "pagination", "span_soup", "table_layout",
+    "feed_teasers", "paywall_gate",
 )
 
 
@@ -183,6 +184,15 @@ def hostile_page(shape: str, doc_id: int, seed: int = 42) -> Dict[str, object]:
       * table_layout  — 1990s table-based layout: prose lives in one
                         <td>, nav links in sibling <td>s, no semantic
                         containers anywhere
+      * feed_teasers  — a recirculation feed after the article: teaser
+                        cards (headline link + one-sentence snippet,
+                        prose-like!) in a class="recirc" block — the
+                        infinite-scroll "More stories" trap; caught by
+                        the real-world recirc/teaser class hints
+      * paywall_gate  — a subscription gate INSIDE the article element
+                        (class="paywall" prose + button) truncating the
+                        piece; visible paragraphs must extract, the
+                        gate prose must not leak
     """
     if shape not in HOSTILE_SHAPES:
         raise ValueError(f"shape must be one of {HOSTILE_SHAPES}")
@@ -283,6 +293,40 @@ def hostile_page(shape: str, doc_id: int, seed: int = 42) -> Dict[str, object]:
         body.append(
             f'<div class="pagination"><a href="/p">Previous</a> '
             f'{pages_links} <a href="/n">Next page</a></div>'
+        )
+    elif shape == "feed_teasers":
+        art = [f"<h1>{title}</h1>"] + [f"<p>{p}</p>" for p in paras]
+        gt_main += [" ".join(p.split()) for p in paras]
+        body.append("<article>" + "".join(art) + "</article>")
+        cards = []
+        for k in range(8):
+            head = _sentence(rng, words, rng.randint(4, 6))
+            teaser = _sentence(rng, words, rng.randint(8, 12))
+            boiler_probe.append(" ".join(teaser.split()))
+            cards.append(
+                f'<div class="card"><a href="/story/{k}">{head}</a>'
+                f"<p>{teaser}</p></div>"
+            )
+        boiler_probe.append("More stories")
+        body.append(
+            '<div class="recirc"><h3>More stories</h3>'
+            + "".join(cards) + "</div>"
+        )
+    elif shape == "paywall_gate":
+        half = max(2, len(paras) // 2)
+        gt_main += [" ".join(p.split()) for p in paras[:half]]
+        gate = (
+            "You have reached your monthly article limit. Sign in or "
+            "purchase a day pass to continue reading this story."
+        )
+        boiler_probe.append("monthly article limit")
+        body.append(
+            "<article>"
+            + f"<h1>{title}</h1>"
+            + "".join(f"<p>{p}</p>" for p in paras[:half])
+            + f'<div class="paywall"><p>{gate}</p>'
+            + "<button>Sign in</button></div>"
+            + "</article>"
         )
     elif shape == "span_soup":
         # no <p> at all: sentences in inline <span>s inside one <div>

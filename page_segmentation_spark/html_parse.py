@@ -70,7 +70,8 @@ import re as _re
 BOILER_HINT_RE = _re.compile(
     r"(?:^|[\s_-])(?:ad|ads|advert\w*|promo\w*|sponsor\w*|comment\w*|"
     r"sidebar|related|share|social|newsletter|subscrib\w*|cookie\w*|"
-    r"banner|breadcrumb\w*|widget|masthead|disclaimer|pagination|pager)"
+    r"banner|breadcrumb\w*|widget|masthead|disclaimer|pagination|pager|"
+    r"paywall|recirc\w*|teaser\w*|outbrain|taboola)"
     r"(?:$|[\s_-])"
 )
 
