@@ -454,3 +454,54 @@ def build_wet(records: list[dict], per_record_gzip: bool = True) -> bytes:
         ],
         per_record_gzip=per_record_gzip,
     )
+
+
+def write_wet(
+    df: DataFrame,
+    output_dir: str,
+    url_col: str = "url",
+    text_col: str = "clean_text",
+    ts: str = "2024-01-01T00:00:00Z",
+) -> int:
+    """Export a corpus table as sharded WET files — the format the
+    open-data ecosystem already consumes (one ``part-NNNNN.warc.wet.gz``
+    per partition, conversion records with per-record gzip members,
+    rows serialized in deterministic url order within each shard).
+
+    Embarrassingly parallel: each task serializes ITS partition with
+    :func:`build_wet` and writes one shard via write-temp-then-rename
+    (idempotent under task retries — a re-executed task atomically
+    replaces its own shard); a ``_SUCCESS`` marker lands after the
+    action completes.  Returns the number of non-empty shards.  At
+    cluster scale ``output_dir`` is a mounted object store; repartition
+    upstream to choose the shard count/size."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(output_dir, exist_ok=True)
+    pruned = df.select(
+        F.col(url_col).alias("url"), F.col(text_col).alias("text")
+    )
+
+    def dump(pid: int, it):
+        rows = sorted((r["url"], r["text"]) for r in it)
+        if not rows:
+            return iter(())
+        payload = build_wet(
+            [{"url": u, "ts": ts, "text": t or ""} for u, t in rows]
+        )
+        final = os.path.join(output_dir, f"part-{pid:05d}.warc.wet.gz")
+        tmp = final + ".inprogress"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, final)  # atomic publish
+        return iter((1,))
+
+    n = (
+        pruned.rdd.mapPartitionsWithIndex(dump, preservesPartitioning=True)
+        .sum()
+    )
+    with open(os.path.join(output_dir, "_SUCCESS"), "w") as f:
+        f.write("")
+    return int(n)

@@ -395,3 +395,26 @@ def test_cdx_index_driven_fetch(spark, tmp_path):
     )
     rows = parse_cdxj_lines(bad).collect()
     assert rows[0]["urlkey"] == "key" and rows[0]["url"] is None
+
+
+def test_write_wet_roundtrip(spark, tmp_path):
+    """Corpus -> sharded WET export -> read_wet recovers exactly the
+    rows (the ecosystem-format export sink); empty partitions write no
+    shard and _SUCCESS lands."""
+    import os
+
+    from page_segmentation_spark.sources.warc import read_wet, write_wet
+
+    rows = [(f"https://s/{i}", f"document body number {i}.") for i in range(7)]
+    df = spark.createDataFrame(
+        rows, "url string, clean_text string"
+    ).repartition(4)
+    out = str(tmp_path / "wet_out")
+    n = write_wet(df, out)
+    assert 1 <= n <= 4
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    shards = [f for f in os.listdir(out) if f.endswith(".warc.wet.gz")]
+    assert len(shards) == n
+    back = {(r["url"], r["text"]) for r in
+            read_wet(spark, out + "/*.warc.wet.gz").collect()}
+    assert back == set(rows)
