@@ -1504,34 +1504,43 @@ def _simple_font_cff_cmap(
     objects: Dict[int, bytes],
     dec: Optional["_Decryptor"] = None,
 ) -> Optional[Dict[int, str]]:
-    """1-byte code map for a simple font whose program is a /FontFile3
-    CFF: built-in encoding + charset from :func:`parse_cff_charmap`,
-    then the font dict's /Encoding /Differences overlay (inline dict or
-    indirect object).  None when any link is outside scope."""
-    mfd = _DESCRIPTOR_RE.search(body)
-    fd = objects.get(int(mfd.group(1))) if mfd else None
-    if fd is None:
-        return None
-    mff = _FONTFILE3_RE.search(fd)
-    if not mff:
-        return None
-    ff_onum = int(mff.group(1))
-    ff_body = objects.get(ff_onum)
-    if ff_body is None:
-        return None
-    cff = _object_stream_payload(ff_body, objects, dec, ff_onum)
-    if cff is None:
-        return None
-    try:
-        base = parse_cff_charmap(cff)
-    except (ValueError, IndexError):
-        return None
+    """1-byte code map for a simple font.  Base map: the CFF naming
+    tables when the descriptor carries a /FontFile3 program
+    (:func:`parse_cff_charmap`); otherwise — the base-14 /
+    program-less shape — ASCII identity (codes 32..126, the
+    Standard/WinAnsi common core), used ONLY when a /Differences array
+    is present (a bare base font stays on the latin-1 fast path).
+    The font dict's /Encoding /Differences overlay (inline dict or
+    indirect object) applies on top in both cases.  None when nothing
+    recovers a map (caller keeps latin-1)."""
     scope = body
     menc = _ENCODING_REF_RE.search(body)
     if menc is not None:
         enc_body = objects.get(int(menc.group(1)))
         if enc_body is not None:
             scope = body + enc_body
+
+    base: Optional[Dict[int, str]] = None
+    mfd = _DESCRIPTOR_RE.search(body)
+    fd = objects.get(int(mfd.group(1))) if mfd else None
+    if fd is not None:
+        mff = _FONTFILE3_RE.search(fd)
+        if mff:
+            ff_onum = int(mff.group(1))
+            ff_body = objects.get(ff_onum)
+            if ff_body is not None:
+                cff = _object_stream_payload(
+                    ff_body, objects, dec, ff_onum
+                )
+                if cff is not None:
+                    try:
+                        base = parse_cff_charmap(cff)
+                    except (ValueError, IndexError):
+                        return None  # broken program: degrade
+    if base is None:
+        if _DIFF_RE.search(scope) is None:
+            return None  # no program, no Differences: latin-1 path
+        base = {c: chr(c) for c in range(32, 127)}
     return _differences_overlay(scope, base) or None
 
 

@@ -506,3 +506,28 @@ def test_embedded_cmap_rejects_non_2byte_codespace():
         b"begincidchar\n<e001> 7\nendcidchar"
     )
     assert parse_cid_cmap(two_byte) == {0xE001: 7}
+
+
+def test_differences_without_font_program():
+    """A base-14 / program-less simple font with /Encoding /Differences:
+    the overlay applies over ASCII identity (remapped codes decode
+    through their glyph names, others stay themselves); a bare base
+    font with no Differences keeps the latin-1 fast path byte-for-byte."""
+    def make(enc: bytes) -> bytes:
+        content = b"BT /F1 12 Tf 72 700 Td (AB hello there) Tj ET"
+        return (
+            b"%PDF-1.4\n"
+            b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+            b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+            b"4 0 obj\n<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+            b"5 0 obj\n<< /Type /Font /Subtype /Type1 "
+            b"/BaseFont /Helvetica" + enc + b" >>\nendobj\n"
+            b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+        )
+
+    diffs = b" /Encoding << /Differences [ 65 /a /uni00E9 ] >>"
+    assert parse_pdf(make(diffs))[0]["text"] == "aé hello there"
+    assert parse_pdf(make(b""))[0]["text"] == "AB hello there"
