@@ -68,8 +68,9 @@ their 1-byte codes through the CFF naming tables (charset + built-in
 or custom Encoding + standard strings / String INDEX -> AGL-style
 glyph-name-to-unicode; see :func:`parse_cff_charmap`), with the font
 dict's /Encoding /Differences array overlaid.  Anything outside this
-scope (password-protected PDFs, PREDEFINED named CMaps like
-/GBK-EUC-H, CID-keyed CFF, Type1 /FontFile eexec programs) parses to
+scope (PREDEFINED named CMaps like /GBK-EUC-H, CID-keyed CFF, Type1
+/FontFile eexec program internals — though their /Differences arrays
+DO decode over the ASCII base) parses to
 whatever text ops are visible — never an error (malformed inputs must
 not fail a batch, same contract as parse_html).
 """
@@ -191,9 +192,11 @@ _ESCAPES = {
 # iterated SHA-256/384/512 for R 6, single SHA-256 for the draft R 5)
 # and the 32-byte file key comes from AES-256-CBC-decrypting /UE under
 # the intermediate key — objects then decrypt with the FILE key
-# directly (no per-object md5).  Non-empty user passwords stay out of
-# scope (documented above) — such files degrade to the
-# whatever-is-visible contract like any other unreadable input.
+# directly (no per-object md5).  Non-empty USER passwords are
+# supported end-to-end (build_decryptor(password=...), threaded from
+# ExtractSettings.pdf_password); every candidate key validates against
+# /U before use, so unopenable files degrade to the
+# whatever-is-visible contract instead of emitting wrongly-keyed text.
 
 _CRYPT_PAD = bytes((
     0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
