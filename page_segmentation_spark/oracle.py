@@ -354,6 +354,7 @@ def extract_document(
         preds = cc_majority_vote(nodes, preds)
     spans = SPAN_CUTTERS[settings.span_former](nodes, preds, settings, med)
     texts: List[str] = []
+    selected: List[int] = []
     for (s, e, _c) in spans:
         for k in range(s, e + 1):
             nk = nodes[k]
@@ -369,6 +370,7 @@ def extract_document(
                 )
             ):
                 texts.append(nk["text"])
+                selected.append(k)
     return {
         "extracted_text": settings.separator.join(texts),
         "spans": spans,
@@ -376,4 +378,28 @@ def extract_document(
         "char_med": med,
         "nodes": nodes,
         "preds": preds,
+        "selected": selected,
+    }
+
+
+def extract_document_markdown(
+    html: bytes | str, settings: ExtractSettings | None = None
+) -> Dict[str, Any]:
+    """Markdown-structured extraction for one page: the SAME selected
+    nodes as :func:`extract_document` (same classifier, spans, bridge
+    guard — ``selected`` is reused, not recomputed), rendered through
+    the shared tag-prefix map (functions/markdown.MD_PREFIXES, the
+    single source of truth for both engines)."""
+    from page_segmentation_spark.functions.markdown import md_line
+
+    r = extract_document(html, settings)
+    settings = settings or ExtractSettings()
+    md = settings.separator.join(
+        md_line(r["nodes"][k]["tag"], r["nodes"][k]["text"])
+        for k in r["selected"]
+    )
+    return {
+        "extracted_markdown": md,
+        "spans": r["spans"],
+        "n_nodes": r["n_nodes"],
     }

@@ -98,3 +98,51 @@ def extract(pages: DataFrame, settings: ExtractSettings | None = None) -> DataFr
         ),
         F.count(F.when(F.col("node_idx") >= 0, F.lit(1))).alias("n_nodes"),
     )
+
+
+def extract_markdown(
+    pages: DataFrame, settings: ExtractSettings | None = None
+) -> DataFrame:
+    """Markdown-structured extraction: the SAME classified/spanned node
+    selection as :func:`extract` (one shared subplan — same single
+    Exchange, zero extra shuffles), but each selected node renders
+    through the shared tag-prefix map
+    (functions/markdown.MD_PREFIXES — the one source of truth the
+    oracle's extract_document_markdown also reads) before the ordered
+    join.  Output: (url, extracted_markdown, spans, n_nodes)."""
+    from page_segmentation_spark.functions.markdown import md_prefix_expr
+
+    settings = settings or ExtractSettings()
+    nodes = classified_nodes(pages, settings)
+    spanned = SPAN_FORMERS[settings.span_former](nodes, settings)
+
+    md_structs = F.when(
+        F.col("selected"),
+        F.struct(
+            F.col("node_idx"),
+            F.concat(md_prefix_expr(F.col("tag")), F.col("text")).alias(
+                "md"
+            ),
+        ),
+    )
+    span_structs = F.when(
+        F.col("in_kept_span"),
+        F.struct(
+            F.col("span_start").alias("start"),
+            F.col("span_end").alias("end"),
+            F.col("span_main").alias("n_main"),
+        ),
+    )
+    return spanned.groupBy("url").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(md_structs)),
+                lambda x: x.getField("md"),
+            ),
+            settings.separator,
+        ).alias("extracted_markdown"),
+        F.array_sort(F.array_distinct(F.collect_list(span_structs))).alias(
+            "spans"
+        ),
+        F.count(F.when(F.col("node_idx") >= 0, F.lit(1))).alias("n_nodes"),
+    )

@@ -1731,6 +1731,39 @@ def extract_flagship(spark, sf_dir):
     )
 
 
+@_q(
+    "extract_markdown_flagship",
+    f"""
+    SELECT 'https://testdata/doc/' || CAST(doc_id AS VARCHAR) AS url,
+           '# Document ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+             || text || ' {_PAD_SQL}' || chr(10) || chr(10)
+             || reverse(text) || ' {_PAD_SQL}' AS extracted_markdown,
+           CAST(1 AS BIGINT) AS n_spans,
+           CAST(10 AS BIGINT) AS n_nodes
+    FROM documents
+    """,
+)
+def extract_markdown_flagship(spark, sf_dir):
+    """Markdown-structured extraction (plans/extract.extract_markdown):
+    identical node selection to the flagship — same plan, same single
+    Exchange — with heading/list tags rendered through the shared
+    prefix map (functions/markdown.MD_PREFIXES, one source of truth for
+    the Spark when-chain AND oracle.extract_document_markdown).  The
+    fixture title is an h1, so every document gains exactly the '# '
+    prefix over the plain-text oracle; paragraph nodes render bare."""
+    from page_segmentation_spark.packaging import ship_package
+    from page_segmentation_spark.plans.extract import extract_markdown
+
+    ship_package(spark)
+    out = extract_markdown(pages_from_documents(spark, sf_dir))
+    return out.select(
+        "url",
+        "extracted_markdown",
+        F.size("spans").cast("long").alias("n_spans"),
+        "n_nodes",
+    )
+
+
 def _c4_keep_sql(x: str, min_words: int, banned: str) -> str:
     """DuckDB twin of text.c4_keep_line for a line expression ``x``."""
     return (
@@ -3791,6 +3824,7 @@ _PRIORITY = [
     "p12_points_parse", "p14_overlay_mask",
     # flagships + composed funnel (the plans a crawl user actually runs)
     "extract_flagship", "extract_fused_flagship",
+    "extract_markdown_flagship",
     "extract_pdf_flagship", "extract_pdf_encrypted", "extract_pdf_fonts",
     "extract_arch_wide", "extract_arch_trained",
     "pipeline_training_corpus", "pipeline_wet_corpus",

@@ -88,3 +88,28 @@ def test_empty_and_no_main_docs_present(spark):
     assert len(rows) == 2
     for r in rows.values():
         assert r["extracted_text"] == ""
+
+
+def test_extract_markdown_value_identity_and_plan(spark):
+    """Markdown extraction: byte-identical to the oracle twin over the
+    synthetic corpus (shared MD_PREFIXES map), heading prefixes present,
+    same single-Exchange plan as the flagship."""
+    from page_segmentation_spark.datagen import make_page, pages_df
+    from page_segmentation_spark.oracle import extract_document_markdown
+    from page_segmentation_spark.plans.extract import extract_markdown
+
+    df = extract_markdown(pages_df(spark, 40, partitions=3))
+    by_url = {r["url"]: r["extracted_markdown"] for r in df.collect()}
+    hits = 0
+    for i in range(40):
+        p = make_page(i)
+        want = extract_document_markdown(p["html"])["extracted_markdown"]
+        assert by_url[p["url"]] == want, p["url"]
+        hits += want.startswith("# ") or "\n# " in want or "\n## " in want
+    assert hits > 10  # heading prefixes actually exercised
+    # plan audit on a FRESH (un-executed) frame: the AQE final plan of
+    # the collected one re-prints exchanged stages per QueryStage
+    fresh = extract_markdown(pages_df(spark, 40, partitions=3))
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
