@@ -70,6 +70,19 @@ OUT_SCHEMA = (
     "spans array<struct<start:bigint,end:bigint,n_main:bigint>>, "
     "n_nodes bigint"
 )
+_MD_ARROW_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("extracted_markdown", pa.string()),
+        pa.field("spans", pa.list_(_SPAN_T)),
+        pa.field("n_nodes", pa.int64()),
+    ]
+)
+MD_OUT_SCHEMA = (
+    "url string, extracted_markdown string, "
+    "spans array<struct<start:bigint,end:bigint,n_main:bigint>>, "
+    "n_nodes bigint"
+)
 
 
 def extract_fused(
@@ -123,3 +136,56 @@ def extract_fused(
             )
 
     return pruned.mapInArrow(kernel, schema=OUT_SCHEMA)
+
+
+def extract_markdown_fused(
+    pages: DataFrame, settings: ExtractSettings | None = None
+) -> DataFrame:
+    """Zero-shuffle markdown extraction — the fused twin of
+    plans/extract.extract_markdown: one mapInArrow stage calling
+    oracle.extract_document_markdown per page (which reuses the plain
+    extraction's selected nodes and the shared MD_PREFIXES map), so
+    crawl-scale jobs get structured output at fused-plan throughput.
+    Output: (url, extracted_markdown, spans, n_nodes)."""
+    from page_segmentation_spark.oracle import SPAN_CUTTERS
+
+    settings = settings or ExtractSettings()
+    if settings.span_former not in SPAN_CUTTERS:
+        raise ValueError(
+            f"unknown span_former {settings.span_former!r}: "
+            f"{sorted(SPAN_CUTTERS)}"
+        )
+    pruned = pages.select("url", "html")
+
+    def kernel(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        from page_segmentation_spark.oracle import (
+            extract_document_markdown,
+        )
+
+        for batch in batches:
+            d = batch.to_pydict()
+            urls, mds, spans_col, n_nodes = [], [], [], []
+            for url, html in zip(d["url"], d["html"]):
+                r = extract_document_markdown(html or b"", settings)
+                urls.append(url)
+                mds.append(r["extracted_markdown"])
+                spans_col.append(
+                    [
+                        {"start": s, "end": e, "n_main": c}
+                        for (s, e, c) in r["spans"]
+                    ]
+                )
+                n_nodes.append(r["n_nodes"])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, type=pa.string()),
+                    pa.array(mds, type=pa.string()),
+                    pa.array(spans_col, type=pa.list_(_SPAN_T)),
+                    pa.array(n_nodes, type=pa.int64()),
+                ],
+                schema=_MD_ARROW_SCHEMA,
+            )
+
+    return pruned.mapInArrow(kernel, schema=MD_OUT_SCHEMA)

@@ -121,3 +121,25 @@ def test_architecture_parameter_respected(spark):
         assert _rows(extract(pages, s)) == _rows(extract_fused(pages, s))
     finally:
         pages.unpersist()
+
+
+def test_fused_markdown_matches_declarative(spark):
+    """Zero-shuffle markdown twin: byte-identical to the declarative
+    extract_markdown over the synthetic corpus; plan has no Exchange."""
+    from page_segmentation_spark.datagen import pages_df
+    from page_segmentation_spark.packaging import ship_package
+    from page_segmentation_spark.plans.extract import extract_markdown
+    from page_segmentation_spark.plans.extract_fused import (
+        extract_markdown_fused,
+    )
+
+    ship_package(spark)
+    pages = pages_df(spark, 30, partitions=3)
+    want = {r["url"]: (r["extracted_markdown"], r["n_nodes"])
+            for r in extract_markdown(pages).collect()}
+    fused = extract_markdown_fused(pages)
+    got = {r["url"]: (r["extracted_markdown"], r["n_nodes"])
+           for r in fused.collect()}
+    assert got == want
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
