@@ -121,3 +121,29 @@ def test_extract_document_deterministic():
     b2 = extract_document(html)
     assert a["extracted_text"] == b2["extracted_text"]
     assert len(a["extracted_text"]) > 0
+
+
+def test_markdown_renders_all_block_structures():
+    """Every live MD_PREFIXES entry renders: h1/h3 headings, list items,
+    blockquote, bare paragraphs — structure preserved, boilerplate
+    still excluded."""
+    from page_segmentation_spark.oracle import extract_document_markdown
+
+    html = (
+        b"<html><body><article><h1>The Title Here</h1>"
+        b"<p>A real paragraph with enough words to be counted as main "
+        b"content today.</p>"
+        b"<ul><li>first list item with several words</li>"
+        b"<li>second list item with words too</li></ul>"
+        b"<blockquote>a quoted sentence with enough substance to keep"
+        b"</blockquote><h3>A Subheading</h3>"
+        b"<p>Closing paragraph with plenty of words to anchor the span."
+        b"</p></article>"
+        b"<nav><a href=/>Home</a><a href=/a>About</a></nav></body></html>"
+    )
+    md = extract_document_markdown(html)["extracted_markdown"]
+    assert md.startswith("# The Title Here")
+    assert "\n\n- first list item" in md
+    assert "\n\n> a quoted sentence" in md
+    assert "\n\n### A Subheading" in md
+    assert "Home" not in md  # nav still excluded
