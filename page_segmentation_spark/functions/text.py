@@ -839,8 +839,23 @@ def gopher_quality(
     repetition rules of the same paper live in
     :func:`repetition_signals` (those need aggregation, these do not)."""
     text = F.col(text_col)
-    blank = F.length(F.trim(text)) == 0
-    words = F.split(F.trim(text), r"\s+")
+    # stage the text-wide derivations (trim / both splits / padded-lower)
+    # as REAL columns: each is referenced by several signal columns
+    # below, and codegen's common-subexpression elimination is not
+    # reliable on trees this wide (the with_lang_id lesson) — staged
+    # aliases referenced more than once block CollapseProject inlining,
+    # so every full-text scan here runs exactly once per row.
+    df = df.select(
+        "*",
+        F.trim(text).alias("__pss_g_trim"),
+        F.split(F.trim(text), r"\s+").alias("__pss_g_words"),
+        F.split(text, "\n").alias("__pss_g_lines"),
+        F.concat(F.lit(" "), F.lower(text), F.lit(" ")).alias(
+            "__pss_g_padded"
+        ),
+    )
+    blank = F.length(F.col("__pss_g_trim")) == 0
+    words = F.col("__pss_g_words")
     n_words = F.when(blank, F.lit(0)).otherwise(F.size(words)).cast("long")
     non_ws = F.length(F.regexp_replace(text, r"\s+", "")).cast("double")
     mean_wl = F.when(
@@ -853,7 +868,7 @@ def gopher_quality(
     symbol_ratio = F.when(
         n_words > 0, n_symbols.cast("double") / n_words.cast("double")
     ).otherwise(F.lit(0.0))
-    lines = F.split(text, "\n")
+    lines = F.col("__pss_g_lines")
     n_lines = F.size(lines).cast("double")  # >= 1 for non-null text
     is_bullet = lambda l: (  # noqa: E731 — shared by filter + twin
         F.ltrim(l).startswith("•")
@@ -881,7 +896,7 @@ def gopher_quality(
     alpha_frac = F.when(
         n_words > 0, n_alpha_words / n_words.cast("double")
     ).otherwise(F.lit(0.0))
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    padded = F.col("__pss_g_padded")
     stop_hits = F.lit(0)
     for w in GOPHER_STOPWORDS:
         stop_hits = stop_hits + F.when(
@@ -935,11 +950,18 @@ def c4_line_filter(
     are Catalyst array expressions, so the operator is zero-shuffle,
     whole-stage-codegen'd, and embarrassingly parallel at any corpus
     size (contrast paragraph_dedup, whose frequencies are corpus-wide
-    and need a shuffle)."""
+    and need a shuffle).  The kept-lines array is staged as a real
+    column first (the with_lang_id discipline): the output select
+    references it four times, and inlining would run the per-line
+    filter chain once per reference."""
     lines = F.split(F.col(text_col), "\n")
-    kept = F.filter(
+    kept_expr = F.filter(
         lines, lambda l: c4_keep_line(l, min_words, banned_words)
     )
+    staged = df.select(
+        "*", kept_expr.alias("__pss_c4_kept")
+    )
+    kept = F.col("__pss_c4_kept")
     n_lines = F.size(lines)
     n_kept = F.size(kept)
     low_text = F.lower(F.col(text_col))
@@ -947,7 +969,7 @@ def c4_line_filter(
     for m in page_banned:
         page_bad = page_bad | low_text.contains(m.lower())
     page_kept = (~page_bad) & (n_kept >= min_kept_lines)
-    return df.select(
+    return staged.select(
         F.col(id_col),
         F.array_join(kept, "\n").alias("clean_text"),
         n_kept.cast("long").alias("n_kept"),

@@ -25,14 +25,13 @@ Spark and ANSI SQL); no first()/rand() anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from page_segmentation_spark.functions.text import (
     c4_line_filter,
     fingerprint,
     gopher_quality,
-    token_count,
     with_lang_id,
 )
 from page_segmentation_spark.plans.extract import extract
@@ -87,8 +86,17 @@ def _funnel_from_extracted(
 ) -> DataFrame:
     """C4 -> Gopher -> lang ID / tokens / fingerprint over an
     (url, extracted_text) table — the shared tail of both input paths
-    (zero-shuffle Catalyst projections, fused into the upstream stage)."""
+    (zero-shuffle Catalyst projections, fused into the upstream stage).
+
+    Both gate filters sit behind a :func:`pushdown_barrier`: without it
+    PushDownPredicates substitutes ``page_kept``/``keep`` through every
+    projection and the merged Filter re-computes the C4 line chain ~40x
+    per row (the r06 before-plan); with the barrier each gate expression
+    is evaluated exactly once and the filters test plain attributes."""
+    from page_segmentation_spark.functions.staging import pushdown_barrier
+
     c4 = c4_line_filter(ext, "url", "extracted_text", **(c4_opts or {}))
+    c4 = pushdown_barrier(c4, ["clean_text", "page_kept"])
     page_kept = c4.where(F.col("page_kept") == 1)
     g = gopher_quality(
         page_kept,
@@ -97,12 +105,19 @@ def _funnel_from_extracted(
         extra_cols=("clean_text",),
         **(gopher_opts or {}),
     )
-    survivors = g.where(F.col("keep") == 1).select("url", "clean_text")
+    g = pushdown_barrier(g, ["keep"])
+    # n_words is gopher's whitespace token count — the SAME expression
+    # token_count() would rebuild over the same clean_text (split of the
+    # trimmed text on \s+, blank -> 0, cast long), so reuse it instead
+    # of re-splitting every surviving document.
+    survivors = g.where(F.col("keep") == 1).select(
+        "url", "clean_text", "n_words"
+    )
     # staged lang ID (with_lang_id docstring: 5-7x over the inline form)
     return with_lang_id(survivors, "clean_text").select(
         "url",
         "lang",
-        token_count(F.col("clean_text")).alias("n_tokens"),
+        F.col("n_words").alias("n_tokens"),
         fingerprint(F.col("clean_text")).alias("content_fp"),
         "clean_text",
     )
@@ -150,12 +165,22 @@ def build_training_corpus(
     else:
         out = corpus_features(pages, c4_opts, gopher_opts, fused)
     if dedup:
-        w = Window.partitionBy("content_fp")
-        out = (
-            out.withColumn("keep_url", F.min("url").over(w))
-            .where(F.col("url") == F.col("keep_url"))
-            .drop("keep_url")
+        # keep the min-url row per fingerprint via ONE struct-min
+        # aggregation (url leads the struct, so lexicographic struct
+        # order == url order; url is unique per row, so this selects
+        # exactly the rows the previous min-over-window + self-filter
+        # kept).  Unlike the window form, the aggregate partially
+        # reduces duplicates MAP-SIDE before the exchange — at crawl
+        # scale the shuffle then carries one candidate per (fingerprint,
+        # map partition) instead of every duplicate row.
+        rest = [c for c in out.columns if c != "content_fp"]
+        cols = list(out.columns)
+        agg = out.groupBy("content_fp").agg(
+            F.min(F.struct(*[F.col(c) for c in rest])).alias("_keep")
         )
+        out = agg.select(
+            "content_fp", *[F.col(f"_keep.{c}").alias(c) for c in rest]
+        ).select(*cols)
     if neardup:
         out = neardup_representatives(out, neardup_opts)
     return out
