@@ -121,6 +121,46 @@ def with_features(nodes: DataFrame, arch=None) -> DataFrame:
 
 
 def featurize(nodes: DataFrame, arch=None) -> DataFrame:
-    """Full feature stage: doc stats -> context sums -> feature array.
-    ``arch`` selects a named architecture's radii/cap (None = base)."""
-    return with_features(with_context_sums(with_doc_stats(nodes), arch), arch)
+    """Full feature stage: doc stats + context sums -> feature array.
+    ``arch`` selects a named architecture's radii/cap (None = base).
+
+    All twelve window columns are emitted from ONE select over one
+    (url, node_idx)-ordered window spec: the analyzer groups same
+    partition+order expressions into a single Window node (frames may
+    differ), so the whole stage is one local sort + one pass — the
+    per-column ``withColumn`` form planned five Window nodes and two
+    sorts.  The per-document aggregates use unbounded frames of the
+    ORDERED window: sum/count/percentile over the full partition are
+    order-insensitive, so values are identical to the unordered
+    ``with_doc_stats`` form (kept below for standalone use)."""
+    loc_r = sc.LOCAL_RADIUS if arch is None else arch.local_radius
+    sec_r = sc.SECTION_RADIUS if arch is None else arch.section_radius
+    dir_r = sc.DIRECTIONAL_RADIUS if arch is None else arch.directional_radius
+    w = Window.partitionBy("url").orderBy("node_idx")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    loc = w.rowsBetween(-loc_r, loc_r)
+    sec = w.rowsBetween(-sec_r, sec_r)
+    fwd = w.rowsBetween(1, dir_r)
+    bwd = w.rowsBetween(-dir_r, -1)
+    z = F.lit(0).cast("long")
+    staged = nodes.select(
+        "*",
+        F.coalesce(
+            F.expr(
+                "percentile(CASE WHEN is_fg THEN n_chars END, 0.5)"
+            ).over(full),
+            F.lit(0.0),
+        ).alias("char_med"),
+        F.sum("n_chars").over(full).alias("doc_chars"),
+        F.sum("n_link_chars").over(full).alias("doc_link"),
+        F.count(F.lit(1)).over(full).alias("n_nodes"),
+        F.sum("n_chars").over(loc).alias("loc_chars"),
+        F.sum("n_link_chars").over(loc).alias("loc_link"),
+        F.sum("n_chars").over(sec).alias("sec_chars"),
+        F.sum("n_link_chars").over(sec).alias("sec_link"),
+        F.coalesce(F.sum("n_chars").over(fwd), z).alias("fwd_chars"),
+        F.coalesce(F.sum("n_link_chars").over(fwd), z).alias("fwd_link"),
+        F.coalesce(F.sum("n_chars").over(bwd), z).alias("bwd_chars"),
+        F.coalesce(F.sum("n_link_chars").over(bwd), z).alias("bwd_link"),
+    )
+    return with_features(staged, arch)

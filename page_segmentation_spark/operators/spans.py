@@ -36,8 +36,36 @@ from page_segmentation_spark.operators.islands import with_islands
 def with_spans(nodes: DataFrame, settings: ExtractSettings) -> DataFrame:
     """Input: node table with pred, is_fg, char_med, n_nodes.
     Output: adds ``selected`` (node contributes to extraction),
-    ``span_start``, ``span_end``, ``span_main`` (null outside spans)."""
-    w_ord = Window.partitionBy("url").orderBy("node_idx")
+    ``span_start``, ``span_end``, ``span_main`` (null outside spans).
+
+    Single-sort formulation.  The island form re-partitioned windows by
+    (url, zisl) / (url, sisl), costing a fresh local sort of the full
+    node table each (plus re-sorts back to node order) — ~half the
+    declarative plan's post-exchange wall time.  Zero-runs and merged
+    runs are CONTIGUOUS in node order, so every per-run statistic here
+    is derived from boundary positions and running prefix sums over the
+    ONE (url, node_idx) ordering the feature stage already established:
+
+      * gap merge: a zero-run's extent is (previous dil=1 index,
+        next dil=1 index) — interior and shorter than split_size iff
+        both neighbors exist and their distance is small (exactly the
+        z_min/z_max/z_len test);
+      * span stats: each merged-run's first main node and last
+        non-heading main node are marked locally (a main is its run's
+        first iff the running main-count just before it equals the
+        count at the run's opening gap), then propagated to every
+        member with running max/min; span_main is the difference of
+        running main-counts at the propagated end marker vs the run's
+        opening gap.
+
+    Values are pinned byte-identical by the goldens, the oracle parity
+    tests, and the per-former value-identity suite."""
+    w = Window.partitionBy("url").orderBy("node_idx")
+    run_pre = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run_fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    run_all = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
 
     # W4 threshold derivation (mirror config.derive_thresholds)
     split_size = F.when(F.col("char_med") >= 40.0, F.lit(2)).otherwise(F.lit(3))
@@ -47,70 +75,132 @@ def with_spans(nodes: DataFrame, settings: ExtractSettings) -> DataFrame:
         (F.col("pred") == F.lit(CLS_MAIN)) & F.col("is_fg")
     ).cast("int")
     df = nodes.withColumn("ind", ind)
-
-    # P15 dilation: windowed max, radius r
-    r = settings.dilate_radius
-    df = df.withColumn(
-        "dil", F.max("ind").over(w_ord.rowsBetween(-r, r))
-    )
-
-    # interior zero-runs < split_size flip to 1 (gap merge)
-    df = with_islands(df, ["dil"], out_col="zisl")
-    w_z = Window.partitionBy("url", "zisl")
-    df = (
-        df.withColumn("z_len", F.count(F.lit(1)).over(w_z))
-        .withColumn("z_min", F.min("node_idx").over(w_z))
-        .withColumn("z_max", F.max("node_idx").over(w_z))
-    )
-    interior = (F.col("z_min") > 0) & (F.col("z_max") < F.col("n_nodes") - 1)
-    df = df.withColumn(
-        "merged",
-        F.when(
-            (F.col("dil") == 0) & interior & (F.col("z_len") < split_size),
-            F.lit(1),
-        ).otherwise(F.col("dil")),
-    ).drop("zisl", "z_len", "z_min", "z_max")
-
-    # islands of merged==1 -> candidate spans, trimmed to raw-main
-    # extents; then the trailing-heading trim: a heading at the very end
-    # of a span announces content that lies OUTSIDE the span (the next /
-    # boilerplate section — e.g. an aside's "Related" header), so the
-    # span ends at its last non-heading main node instead.  A span whose
-    # main nodes are ALL headings has no content at all and is dropped
-    # (span_end stays null -> keep is false).
-    df = with_islands(df, ["merged"], out_col="sisl")
-    w_s = Window.partitionBy("url", "sisl")
-    in_span = F.col("merged") == 1
     is_heading = F.col("tag").isin(*sorted(HEADING_TAGS))
-    main_idx = F.when(F.col("ind") == 1, F.col("node_idx"))
-    df = (
-        df.withColumn(
-            "span_start", F.when(in_span, F.min(main_idx).over(w_s))
+    ch = F.when(
+        (F.col("ind") == 1) & ~is_heading, F.lit(1)
+    ).otherwise(F.lit(0))
+
+    # layer 1: P15 dilation (windowed max, radius r) + running counts of
+    # main and non-heading-main nodes (+ the partition total for the
+    # last run's closing boundary) — one Window node on the main sort
+    r = settings.dilate_radius
+    df = df.select(
+        "*",
+        F.max("ind").over(w.rowsBetween(-r, r)).alias("dil"),
+        F.sum("ind").over(run_pre).alias("__sp_rm"),
+        F.sum(ch).over(run_pre).alias("__sp_rc"),
+        F.sum(ch).over(run_all).alias("__sp_tc"),
+    )
+
+    # layer 2: zero-run boundaries -> gap merge (interior zero-runs
+    # shorter than split_size flip to 1; border runs never merge — no
+    # dil=1 neighbor on that side)
+    one_idx = F.when(F.col("dil") == 1, F.col("node_idx"))
+    df = df.select(
+        "*",
+        F.max(one_idx).over(run_pre).alias("__sp_p1"),
+        F.min(one_idx).over(run_fwd).alias("__sp_n1"),
+    )
+    df = df.select(
+        "*",
+        F.when(
+            (F.col("dil") == 0)
+            & F.col("__sp_p1").isNotNull()
+            & F.col("__sp_n1").isNotNull()
+            & ((F.col("__sp_n1") - F.col("__sp_p1") - 1) < split_size),
+            F.lit(1),
         )
-        .withColumn(
-            "span_end",
-            F.when(
-                in_span,
-                F.max(
-                    F.when(
-                        (F.col("ind") == 1) & ~is_heading, F.col("node_idx")
-                    )
-                ).over(w_s),
-            ),
-        )
-        .withColumn(
-            "span_main",
-            F.when(
-                in_span,
-                F.sum(
-                    F.when(
-                        (F.col("ind") == 1)
-                        & (F.col("node_idx") <= F.col("span_end")),
-                        1,
-                    ).otherwise(0)
-                ).over(w_s),
-            ),
-        )
+        .otherwise(F.col("dil"))
+        .alias("merged"),
+    )
+
+    # layer 3: merged-run boundaries, carrying the running counts at the
+    # opening/closing gap rows (gap rows contribute 0 to both counts, so
+    # their running values equal the prefix through the adjacent run end)
+    gap_struct = F.when(
+        F.col("merged") == 0,
+        F.struct(
+            F.col("node_idx").alias("i"),
+            F.col("__sp_rm").alias("rm"),
+            F.col("__sp_rc").alias("rc"),
+        ),
+    )
+    df = df.select(
+        "*",
+        F.max(gap_struct).over(run_pre).alias("__sp_p0"),
+        F.min(gap_struct).over(run_fwd).alias("__sp_n0"),
+    )
+
+    # run-local markers: the run's FIRST main node (no main between the
+    # opening gap and it) and LAST non-heading main (no later one before
+    # the closing gap).  The trailing-heading trim lives here: a span
+    # whose main nodes are all headings gets no end marker in its run,
+    # span_end stays null, and keep is false (see the island-form notes).
+    first_main = (F.col("ind") == 1) & (
+        (F.col("__sp_rm") - 1)
+        == F.coalesce(F.col("__sp_p0.rm"), F.lit(0).cast("long"))
+    )
+    last_ch = (ch == 1) & (
+        F.col("__sp_rc")
+        == F.coalesce(F.col("__sp_n0.rc"), F.col("__sp_tc"))
+    )
+
+    # layer 4: propagate the markers to every run member
+    end_struct = F.when(
+        last_ch,
+        F.struct(
+            F.col("node_idx").alias("i"), F.col("__sp_rm").alias("rm")
+        ),
+    )
+    df = df.select(
+        "*",
+        F.max(F.when(first_main, F.col("node_idx")))
+        .over(run_pre)
+        .alias("__sp_fmb"),
+        F.min(F.when(first_main, F.col("node_idx")))
+        .over(run_fwd)
+        .alias("__sp_fmf"),
+        F.max(end_struct).over(run_pre).alias("__sp_lcb"),
+        F.min(end_struct).over(run_fwd).alias("__sp_lcf"),
+    )
+
+    in_span = F.col("merged") == 1
+    run_lo = F.col("__sp_p0.i")  # null -> run starts the partition
+    run_hi = F.col("__sp_n0.i")  # null -> run ends the partition
+    # every merged run holds >= 1 main (dilation of the indicator), so
+    # exactly one first-main marker exists per run: the backward one if
+    # it is at or before this row, else the forward one
+    span_start = F.when(
+        in_span,
+        F.when(
+            F.col("__sp_fmb").isNotNull()
+            & (run_lo.isNull() | (F.col("__sp_fmb") > run_lo)),
+            F.col("__sp_fmb"),
+        ).otherwise(F.col("__sp_fmf")),
+    )
+    lcf_in = F.col("__sp_lcf").isNotNull() & (
+        run_hi.isNull() | (F.col("__sp_lcf.i") < run_hi)
+    )
+    lcb_in = F.col("__sp_lcb").isNotNull() & (
+        run_lo.isNull() | (F.col("__sp_lcb.i") > run_lo)
+    )
+    end_s = F.when(lcf_in, F.col("__sp_lcf")).otherwise(
+        F.when(lcb_in, F.col("__sp_lcb"))
+    )
+    span_end = F.when(in_span, end_s.getField("i"))
+    span_main = F.when(
+        in_span,
+        F.coalesce(
+            end_s.getField("rm")
+            - F.coalesce(F.col("__sp_p0.rm"), F.lit(0).cast("long")),
+            F.lit(0).cast("long"),
+        ),
+    )
+    df = df.select(
+        "*",
+        span_start.alias("span_start"),
+        span_end.alias("span_end"),
+        span_main.alias("span_main"),
     )
     keep = F.coalesce(
         in_span
@@ -123,7 +213,22 @@ def with_spans(nodes: DataFrame, settings: ExtractSettings) -> DataFrame:
     return (
         df.withColumn("in_kept_span", keep)
         .withColumn("selected", keep & F.col("is_fg") & _not_pure_link())
-        .drop("sisl", "merged", "dil", "ind")
+        .drop(
+            "merged",
+            "dil",
+            "ind",
+            "__sp_rm",
+            "__sp_rc",
+            "__sp_tc",
+            "__sp_p1",
+            "__sp_n1",
+            "__sp_p0",
+            "__sp_n0",
+            "__sp_fmb",
+            "__sp_fmf",
+            "__sp_lcb",
+            "__sp_lcf",
+        )
     )
 
 
