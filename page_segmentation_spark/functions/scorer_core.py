@@ -200,11 +200,28 @@ def logit(features: Sequence[float], cls: int, arch=None) -> float:
 def classify(features: Sequence[float], arch=None) -> int:
     """First-max argmax over class logits (lowest class id wins ties),
     matching np.argmax semantics in the reference CC vote
-    (reference lib/postprocess.py:23)."""
-    best_cls = CLASS_ORDER[0]
-    best = logit(features, best_cls, arch)
-    for cls in CLASS_ORDER[1:]:
-        v = logit(features, cls, arch)
-        if v > best:
-            best, best_cls = v, cls
+    (reference lib/postprocess.py:23).
+
+    The three logits are folded in ONE pass over the feature vector
+    (three accumulators advanced in lockstep) — each accumulator sees
+    exactly the :func:`logit` sequential order, so every logit value is
+    bit-identical to the unfused form; the fusion only removes the
+    3x feature re-iteration and call dispatch (this is the fused-plan
+    hot loop)."""
+    c0, c1, c2 = CLASS_ORDER
+    if arch is None:
+        w, b = WEIGHTS, BIAS
+    else:
+        w, b = arch.weights, arch.bias
+    a0, a1, a2 = b[c0], b[c1], b[c2]
+    for f, x0, x1, x2 in zip(features, w[c0], w[c1], w[c2]):
+        a0 = a0 + f * x0
+        a1 = a1 + f * x1
+        a2 = a2 + f * x2
+    best_cls = c0
+    best = a0
+    if a1 > best:
+        best, best_cls = a1, c1
+    if a2 > best:
+        best_cls = c2
     return best_cls

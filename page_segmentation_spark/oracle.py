@@ -38,6 +38,35 @@ from page_segmentation_spark.functions import scorer_core as sc
 from page_segmentation_spark.page_parse import parse_page
 
 
+def _prefix(vals: List[int]) -> List[int]:
+    """Integer prefix-sum array (prefix[i] = sum of vals[:i])."""
+    prefix = [0] * (len(vals) + 1)
+    acc = 0
+    for i, v in enumerate(vals):
+        acc += v
+        prefix[i + 1] = acc
+    return prefix
+
+
+def _sums_from_prefix(
+    prefix: List[int], n: int, lo_off: int, hi_off: int
+) -> List[int]:
+    """Sliding integer sum over [i+lo_off, i+hi_off] clipped to bounds,
+    extracted from a shared prefix array (exact — integers).  Shared by
+    the eight window extractions of :func:`score_nodes`, which all read
+    the same two prefix arrays instead of rebuilding one each."""
+    out = []
+    for i in range(n):
+        lo = i + lo_off
+        if lo < 0:
+            lo = 0
+        hi = i + hi_off
+        if hi > n - 1:
+            hi = n - 1
+        out.append(prefix[hi + 1] - prefix[lo] if hi >= lo else 0)
+    return out
+
+
 def _window_sums(
     vals: List[int], radius: int, lo_off: int | None = None,
     hi_off: int | None = None,
@@ -48,15 +77,7 @@ def _window_sums(
     n = len(vals)
     lo_off = -radius if lo_off is None else lo_off
     hi_off = radius if hi_off is None else hi_off
-    prefix = [0] * (n + 1)
-    for i, v in enumerate(vals):
-        prefix[i + 1] = prefix[i] + v
-    out = []
-    for i in range(n):
-        lo = max(0, i + lo_off)
-        hi = min(n - 1, i + hi_off)
-        out.append(prefix[hi + 1] - prefix[lo] if hi >= lo else 0)
-    return out
+    return _sums_from_prefix(_prefix(vals), n, lo_off, hi_off)
 
 
 def char_median(nodes: List[Dict[str, Any]]) -> float:
@@ -78,17 +99,20 @@ def score_nodes(
     links = [n["n_link_chars"] for n in nodes]
     loc_r = sc.LOCAL_RADIUS if arch is None else arch.local_radius
     sec_r = sc.SECTION_RADIUS if arch is None else arch.section_radius
-    loc_c = _window_sums(chars, loc_r)
-    loc_l = _window_sums(links, loc_r)
-    sec_c = _window_sums(chars, sec_r)
-    sec_l = _window_sums(links, sec_r)
+    n_n = len(nodes)
+    pc = _prefix(chars)
+    pl = _prefix(links)
+    loc_c = _sums_from_prefix(pc, n_n, -loc_r, loc_r)
+    loc_l = _sums_from_prefix(pl, n_n, -loc_r, loc_r)
+    sec_c = _sums_from_prefix(pc, n_n, -sec_r, sec_r)
+    sec_l = _sums_from_prefix(pl, n_n, -sec_r, sec_r)
     r = sc.DIRECTIONAL_RADIUS if arch is None else arch.directional_radius
-    fwd_c = _window_sums(chars, 0, 1, r)
-    fwd_l = _window_sums(links, 0, 1, r)
-    bwd_c = _window_sums(chars, 0, -r, -1)
-    bwd_l = _window_sums(links, 0, -r, -1)
-    doc_c = sum(chars)
-    doc_l = sum(links)
+    fwd_c = _sums_from_prefix(pc, n_n, 1, r)
+    fwd_l = _sums_from_prefix(pl, n_n, 1, r)
+    bwd_c = _sums_from_prefix(pc, n_n, -r, -1)
+    bwd_l = _sums_from_prefix(pl, n_n, -r, -1)
+    doc_c = pc[-1]
+    doc_l = pl[-1]
     n = len(nodes)
     preds = []
     for i, node in enumerate(nodes):

@@ -145,8 +145,18 @@ def a1_profile(spark, sf_dir):
     """,
 )
 def a2_vote(spark, sf_dir):
-    """A2 majority vote with deterministic lowest-value tie-break."""
-    li = _t(spark, sf_dir, "lineitem")
+    """A2 majority vote with deterministic lowest-value tie-break.
+
+    One exchange: the scan is repartitioned by l_orderkey up front —
+    hash-clustering by a PREFIX of the grouping key satisfies both the
+    (l_orderkey, l_returnflag) aggregate and the l_orderkey window, so
+    the count and the rank run back-to-back with local sorts only
+    (previously: partial-agg exchange on the pair key, then a second
+    exchange for the window).  Orderkeys are the table's densest key —
+    no skew — and the two narrow columns are all that shuffles."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag"
+    ).repartition(F.col("l_orderkey"))
     c = li.groupBy("l_orderkey", "l_returnflag").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -1657,7 +1667,13 @@ def pages_from_documents(spark, sf_dir) -> DataFrame:
     """Deterministically wrap the testdata documents table into pages of
     the input_hint shape (url, warc_ts, html, text, lang) — JVM-side
     string building, no Python randomness."""
-    d = _t(spark, sf_dir, "documents")
+    # the compact documents table reads as ONE parquet split, which would
+    # run the (Python-heavy) parse stage one task wide; spread it over
+    # the cluster's parallelism with a deterministic key before the
+    # heavy html build (values are partitioning-independent)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     # Article-first template with pure-link boilerplate: every non-article
     # node is a link (density 1) and the article has no link-adjacent
     # borderline node, so the expected extraction is the same closed form
@@ -2469,7 +2485,9 @@ def dedup_span_scrub(spark, sf_dir):
     keeper selection, covered positions, and ordered rebuild
     independently (window rank vs struct-min — same total order)."""
     import page_segmentation_spark.operators.dedup as D_
+    from page_segmentation_spark.packaging import ship_package
 
+    ship_package(spark)  # gram kernel is mapInArrow — executors need the pkg
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.when(
@@ -2749,7 +2767,11 @@ def pdf_pages_from_documents(spark, sf_dir) -> DataFrame:
     escapes are undone by the parser, so the closed-form oracle twin is
     unchanged).  The object skeleton is minimal (no back-computed xref —
     the parser reads streams, not the xref; documented simplification)."""
-    d = _t(spark, sf_dir, "documents")
+    # same single-split widening as pages_from_documents: the PDF parse
+    # stage is the expensive part and must not run one task wide
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     nl = "\n"
     pad2 = f" {PAD} {PAD}"
     content = F.concat(

@@ -1,0 +1,166 @@
+"""Round-6 optimization internals: the rolling-hash gram kernel, the
+pushdown barrier, and plan-shape pins for the restructured operators.
+
+Value identity of the big rewrites (featurize / cc_majority / with_spans
+/ funnel) is already pinned by the golden, oracle-parity, and
+value-identity suites; these tests cover the NEW mechanisms directly."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from page_segmentation_spark.operators import dedup as D
+
+
+def _h64(w: str) -> int:
+    return int(hashlib.md5(w.encode("utf-8")).hexdigest()[:16], 16)
+
+
+def _ref_gram_hash(words, p, k):
+    """Direct (non-rolling) evaluation of the polynomial the kernel's
+    prefix/extract arithmetic must reproduce."""
+    acc = 0
+    for w in words[p:p + k]:
+        acc = (acc * D._GRAM_B + _h64(w)) & D._GRAM_MASK
+    return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+
+def test_gram_kernel_matches_direct_polynomial():
+    k = 3
+    words = "alpha beta gamma beta alpha delta beta gamma".split()
+    batches = [_make_batch([(7, words)])]
+    rows = _run_kernel(batches, k)
+    assert [r[1] for r in rows] == list(range(len(words) - k + 1))
+    for (_id, pos, gh) in rows:
+        assert gh == _ref_gram_hash(words, pos, k)
+    # equal word windows hash equal; the two 'beta gamma' starts differ
+    by_pos = {pos: gh for (_i, pos, gh) in rows}
+    assert words[1:4] != words[3:6]
+    assert by_pos[1] != by_pos[3]
+
+
+def test_gram_kernel_short_and_exact_length_docs():
+    k = 4
+    rows = _run_kernel(
+        [_make_batch([(1, ["a", "b", "c"]), (2, ["a", "b", "c", "d"])])], k
+    )
+    # doc shorter than k yields no grams (the r5 sequence/slice form
+    # raised on this shape); doc of exactly k yields one
+    assert [(r[0], r[1]) for r in rows] == [(2, 0)]
+
+
+def test_gram_kernel_same_gram_across_docs():
+    k = 2
+    rows = _run_kernel(
+        [_make_batch([(1, ["x", "y", "z"]), (2, ["q", "x", "y"])])], k
+    )
+    gh = {(r[0], r[1]): r[2] for r in rows}
+    assert gh[(1, 0)] == gh[(2, 1)]  # shared 'x y'
+    assert len(set(gh.values())) == 3
+
+
+def _make_batch(docs):
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([d[0] for d in docs], type=pa.int32()),
+            pa.array([d[1] for d in docs], type=pa.list_(pa.string())),
+        ],
+        names=["id", "words"],
+    )
+
+
+def _run_kernel(batches, k):
+    out = []
+    for b in D._gram_hash_kernel(k)(iter(batches)):
+        out.extend(
+            zip(
+                b.column("id").to_pylist(),
+                b.column("pos").to_pylist(),
+                b.column("gh").to_pylist(),
+            )
+        )
+    return out
+
+
+def test_span_scrub_end_to_end_values(spark):
+    """Scrub semantics through the kernel path: the shared 4-gram is
+    removed from every occurrence but the min-(id, pos) one."""
+    boiler = "one two three four"
+    rows = [
+        (1, f"intro text {boiler} tail words here"),
+        (2, f"{boiler} something unique for two"),
+        (3, "completely unrelated document text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in D.duplicate_span_scrub(df, "doc_id", "text", k=4).collect()
+    }
+    assert out[1]["n_scrubbed"] == 0
+    assert boiler in out[1]["clean_text"]
+    assert out[2]["n_scrubbed"] == 4
+    assert boiler not in out[2]["clean_text"]
+    assert "something unique for two" in out[2]["clean_text"]
+    assert out[3]["n_scrubbed"] == 0
+
+
+def test_pushdown_barrier_values_and_plan(spark):
+    from page_segmentation_spark.functions.staging import pushdown_barrier
+
+    df = spark.range(20).select(
+        F.col("id"),
+        F.concat(F.lit("v"), F.col("id")).alias("t"),
+    )
+    derived = df.select(
+        "id", "t", (F.length("t") + F.col("id")).alias("score")
+    )
+    plain = derived.where(F.col("score") > 4)
+    barred = pushdown_barrier(derived, ["score"]).where(F.col("score") > 4)
+    assert barred.columns == derived.columns
+    assert sorted(map(tuple, barred.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    plan = barred._jdf.queryExecution().executedPlan().toString()
+    # the filter tests the generated attribute — the derived expression
+    # must not be re-expanded into the Filter condition
+    assert "Generate" in plan
+    assert "Filter (length" not in plan
+
+
+def test_extract_plan_single_sort(spark):
+    """The r06 single-ordering rewrite: post-exchange, the whole
+    feature/vote/span chain shares ONE (url, node_idx) sort."""
+    from page_segmentation_spark.datagen import pages_df
+    from page_segmentation_spark.plans.extract import extract
+
+    plan = (
+        extract(pages_df(spark, 8, partitions=2))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort [url") <= 1, plan
+
+
+def test_paragraph_dedup_values_unchanged(spark):
+    rows = [
+        (1, "a b c a b c x y z"),
+        (2, "a b c d e f"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in D.paragraph_dedup(
+            df, "doc_id", D.word_chunks(F.col("text"), 3), max_dup=1
+        ).collect()
+    }
+    # 'a b c' occurs in both docs (and twice in doc 1) -> dropped
+    assert out[1]["clean_text"] == "x y z"
+    assert out[1]["n_kept"] == 1 and out[1]["n_removed"] == 2
+    assert out[2]["clean_text"] == "d e f"
