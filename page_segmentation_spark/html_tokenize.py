@@ -62,20 +62,25 @@ def feed_events(collector, html: str) -> None:
     pos = 0
     n = len(html)
     lower = None  # lazily lowered copy for rawtext close-tag search
+    # bind the per-event callees once: the loop fires ~200+ events per
+    # page and each dotted lookup costs a dict probe per event
+    handle_data = collector.handle_data
+    handle_endtag = collector.handle_endtag
+    search = _TOKEN.search
     while pos < n:
-        m = _TOKEN.search(html, pos)
+        m = search(html, pos)
         if m is None:
             data = html[pos:]
             if data:
-                collector.handle_data(unescape(data) if "&" in data else data)
+                handle_data(unescape(data) if "&" in data else data)
             break
         if m.start() > pos:
             data = html[pos: m.start()]
-            collector.handle_data(unescape(data) if "&" in data else data)
+            handle_data(unescape(data) if "&" in data else data)
         end_name, start_name, _attrs, selfclose = m.group(1, 2, 3, 4)
         pos = m.end()
         if end_name is not None:
-            collector.handle_endtag(end_name.lower())
+            handle_endtag(end_name.lower())
         elif start_name is not None:
             tag = start_name.lower()
             attrs = (

@@ -626,6 +626,12 @@ def duplicate_span_scrub(
         .mapInArrow(
             _gram_hash_kernel(k), f"id {id_type}, pos long, gh long"
         )
+        # gh is never null; materializing the not-null filter INSIDE the
+        # shared subtree keeps the keeper-aggregate side and the
+        # join-back side canonically identical (the join pushes its own
+        # isnotnull into just one side otherwise), so exchange/stage
+        # reuse computes the kernel once per execution, not twice
+        .where(F.col("gh").isNotNull())
         .repartition(F.col("gh"))
     )
     keeper = grams.groupBy("gh").agg(

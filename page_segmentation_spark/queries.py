@@ -2488,7 +2488,12 @@ def dedup_span_scrub(spark, sf_dir):
     from page_segmentation_spark.packaging import ship_package
 
     ship_package(spark)  # gram kernel is mapInArrow — executors need the pkg
-    d = _t(spark, sf_dir, "documents").select(
+    # widen the single-split documents scan before the Python kernel
+    # (fixture-level, like pages_from_documents — the operator itself
+    # adds no input shuffle for real multi-split crawls)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    ).select(
         "doc_id",
         F.when(
             F.col("doc_id") % 3 == 0,

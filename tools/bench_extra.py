@@ -82,7 +82,7 @@ def main() -> None:
         if not os.path.exists(os.path.join(ext_path, "_SUCCESS")):
             extract_fused(pages).select(
                 "url", F.col("extracted_text")
-            ).write.mode("overwrite").parquet(ext_path)
+            ).repartition(CPUS * 4).write.mode("overwrite").parquet(ext_path)
         return spark.read.parquet(ext_path)
 
     def tail_c4(ext):
