@@ -89,14 +89,27 @@ def main():
     spark = get_spark(app="crosscheck", master="local[8]", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
-    con = duckdb.connect()
-    for t in [
+    _TABLES = [
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
-    ]:
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    ]
+
+    def fresh_con():
+        # bounded memory + a spill directory: heavy oracle CTEs spill to
+        # disk instead of dying with "Out of Memory Error: Failed to
+        # allocate block" when the box is memory-pressured (observed
+        # intermittently when the Spark driver JVM has grown over a full
+        # 84-query session)
+        c = duckdb.connect()
+        c.sql("SET memory_limit='24GB'")
+        c.sql("SET temp_directory='/tmp/pss_crosscheck_spill'")
+        for t in _TABLES:
+            c.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        return c
+
+    con = fresh_con()
 
     failures = []
     for name, fn in QUERIES.items():
@@ -117,7 +130,12 @@ def main():
                 print(f"WARN {name}: zero rows")
             continue
         try:
-            tbl = con.sql(sql).fetch_arrow_table()
+            try:
+                tbl = con.sql(sql).fetch_arrow_table()
+            except Exception:  # noqa: BLE001 — transient OOM: one retry
+                con.close()
+                con = fresh_con()
+                tbl = con.sql(sql).fetch_arrow_table()
             dcols = [c.lower() for c in tbl.column_names]
             drows = [
                 tuple(rec[c] for c in tbl.column_names)
