@@ -787,8 +787,19 @@ def c4_keep_line(
     (queries._c4_keep_sql)."""
     t = F.rtrim(line)
     keep = F.substring(t, -1, 1).isin(*C4_TERMINALS)
-    # word count via regexp_extract_all (regexp_count has no DuckDB twin)
-    keep = keep & (F.size(F.regexp_extract_all(t, F.lit(r"[^ ]+"), 0)) >= min_words)
+    # ">= min_words space-separated words" as an anchored early-exit
+    # scan instead of materializing the full word array per line
+    # (size(regexp_extract_all(t, '[^ ]+')) allocated every word of
+    # every line just to count them; the r6 A/B measured the c4 stage
+    # 1.17 -> 0.80s at 30k pages).  The classes are disjoint
+    # ([^ ] vs ' '), so the pattern cannot backtrack pathologically,
+    # and it stops after the min_words-th word.  Counts are identical:
+    # the string has >= m maximal non-space runs iff it matches
+    # ^ *(?:[^ ]+ +){m-1}[^ ].  The DuckDB twin (queries._c4_keep_sql)
+    # keeps the regexp_extract_all spelling — values match, verified by
+    # tools/verify_tail_variants.py + the driver gate.
+    if min_words >= 1:
+        keep = keep & t.rlike(r"^ *(?:[^ ]+ +){%d}[^ ]" % (min_words - 1))
     low = F.lower(t)
     for w in banned_words:
         keep = keep & ~low.contains(w.lower())
@@ -856,7 +867,17 @@ def gopher_quality(
     blank = F.length(F.col("__pss_g_trim")) == 0
     words = F.col("__pss_g_words")
     n_words = F.when(blank, F.lit(0)).otherwise(F.size(words)).cast("long")
-    non_ws = F.length(F.regexp_replace(text, r"\s+", "")).cast("double")
+    # non-whitespace char count as a fold over the ALREADY-staged word
+    # array instead of length(regexp_replace(text, '\s+', '')) — the
+    # replace built a full de-whitespaced copy of every document just
+    # to take its length.  Identical by construction: split on \s+
+    # partitions the string into its non-\s segments (boundary empties
+    # contribute 0), so the length sum equals the replaced length
+    # (r6 interleaved A/B: gopher stage ~2.5 -> ~2.0s at 30k pages;
+    # value identity pinned by tools/verify_tail_variants.py).
+    non_ws = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    ).cast("double")
     mean_wl = F.when(
         n_words > 0, non_ws / n_words.cast("double")
     ).otherwise(F.lit(0.0))
@@ -953,17 +974,28 @@ def c4_line_filter(
     column first (the with_lang_id discipline): the output select
     references it four times, and inlining would run the per-line
     filter chain once per reference."""
-    lines = F.split(F.col(text_col), "\n")
+    # stage the line split and the lowered text as REAL columns (the
+    # with_lang_id discipline): the output select references the line
+    # array twice (kept_expr input + n_lines) and the lowered text once
+    # per page_banned needle — inlined, each reference re-split /
+    # re-lowered the full text (r6 A/B: 1.17 -> 0.80s at 30k pages
+    # together with the c4_keep_line rlike change).
+    staged0 = df.select(
+        "*",
+        F.split(F.col(text_col), "\n").alias("__pss_c4_lines"),
+        F.lower(F.col(text_col)).alias("__pss_c4_low"),
+    )
+    lines = F.col("__pss_c4_lines")
     kept_expr = F.filter(
         lines, lambda l: c4_keep_line(l, min_words, banned_words)
     )
-    staged = df.select(
+    staged = staged0.select(
         "*", kept_expr.alias("__pss_c4_kept")
     )
     kept = F.col("__pss_c4_kept")
     n_lines = F.size(lines)
     n_kept = F.size(kept)
-    low_text = F.lower(F.col(text_col))
+    low_text = F.col("__pss_c4_low")
     page_bad = F.lit(False)
     for m in page_banned:
         page_bad = page_bad | low_text.contains(m.lower())

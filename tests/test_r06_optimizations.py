@@ -164,3 +164,97 @@ def test_paragraph_dedup_values_unchanged(spark):
     assert out[1]["clean_text"] == "x y z"
     assert out[1]["n_kept"] == 1 and out[1]["n_removed"] == 2
     assert out[2]["clean_text"] == "d e f"
+
+
+def test_c4_keep_line_rlike_word_count(spark):
+    """The r6 anchored-rlike word-count in c4_keep_line must count
+    exactly like the word-array form it replaced (and like the frozen
+    DuckDB twin): >= min_words maximal non-space runs."""
+    from page_segmentation_spark.functions.text import c4_keep_line
+
+    cases = [
+        "one two three four five.",          # exactly 5 -> keep
+        "one two three four.",               # 4 -> drop
+        "  leading spaces one two three four five.",
+        "tab\tseparated words here now ok.",  # tab is a word char
+        "multi  spaces   between words five six.",
+        "a. b. c. d. e.",
+        "",                                   # empty -> drop
+        "      ",                             # spaces only -> drop
+        "one-word.",                          # 1 -> drop
+        ("w " * 60).strip() + ".",            # long line -> keep
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["line"])
+    got = [
+        bool(r["k"])
+        for r in df.select(
+            c4_keep_line(F.col("line")).alias("k")
+        ).collect()
+    ]
+
+    def ref(line: str) -> bool:
+        t = line.rstrip(" ")
+        if not (t and t[-1] in (".", "!", "?", '"')):
+            return False
+        if len([w for w in t.split(" ") if w]) < 5:
+            return False
+        return "javascript" not in t.lower()
+
+    assert got == [ref(c) for c in cases]
+
+
+def test_c4_keep_line_min_words_edges(spark):
+    from page_segmentation_spark.functions.text import c4_keep_line
+
+    df = spark.createDataFrame([("word.",), ("  .",)], ["line"])
+    # min_words=1: any non-space content counts ('.' alone is 1 word)
+    got1 = [
+        bool(r["k"])
+        for r in df.select(
+            c4_keep_line(F.col("line"), min_words=1).alias("k")
+        ).collect()
+    ]
+    assert got1 == [True, True]
+    # min_words=0: the count clause vanishes (always satisfied)
+    got0 = [
+        bool(r["k"])
+        for r in df.select(
+            c4_keep_line(F.col("line"), min_words=0).alias("k")
+        ).collect()
+    ]
+    assert got0 == [True, True]
+
+
+def test_gopher_non_ws_fold_matches_replace(spark):
+    """The r6 aggregate-over-words non-whitespace count must equal the
+    regexp_replace('\\s+','') length it replaced — including mixed
+    whitespace, boundary empties, and blank text."""
+    import re
+
+    from page_segmentation_spark.functions.text import gopher_quality
+
+    texts = [
+        "plain words here.",
+        "\tleading tab and trailing\t",
+        "multi  spaces\nand\nnewlines",
+        "",
+        "   ",
+        "word nbsp stays glued",
+        "x",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "t"]
+    )
+    out = {
+        r["id"]: r
+        for r in gopher_quality(df, "id", "t", min_words=0).collect()
+    }
+    for i, t in enumerate(texts):
+        n_words = out[i]["n_words"]
+        # Java \s is ASCII-only (no  ) — mirror that, not Python's
+        # unicode \s (the nbsp case pins exactly this distinction)
+        non_ws = len(re.sub(r"[ \t\n\r\f\x0b]+", "", t))
+        if n_words > 0:
+            assert out[i]["mean_word_len"] == round(non_ws / n_words, 6)
+        else:
+            assert out[i]["mean_word_len"] == 0.0
