@@ -53,7 +53,9 @@ def lang_id(text: Column) -> Column:
     return F.when(best > 0.0, best_lang).otherwise(F.lit("und"))
 
 
-def with_lang_id(df, text_col: str, out_col: str = "lang"):
+def with_lang_id(
+    df, text_col: str, out_col: str = "lang", padded_col: str | None = None
+):
     """DataFrame-level language ID — identical semantics (and identical
     values, verified) to ``lang_id(col)`` but 5-7x faster on real
     corpora (78.6s -> 11-15s on 85k extracted documents, local[16]).
@@ -74,16 +76,28 @@ def with_lang_id(df, text_col: str, out_col: str = "lang"):
     building a 2 KB replaced copy of the text per marker (~20%
     faster measured).  Markers are plain lowercase words, so the
     needle contains no regex metacharacters.
-    Use this in pipelines; ``lang_id`` remains for ad-hoc column use."""
-    cols = [F.col(c) for c in df.columns]
-    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
-    step1 = df.select(*cols, padded.alias("__pss_padded"))
+    Use this in pipelines; ``lang_id`` remains for ad-hoc column use.
+
+    ``padded_col`` (optional): a column the CALLER guarantees already
+    holds ``concat(' ', lower(text_col), ' ')`` — exactly the padded
+    lowered text step (1) would build (:func:`gopher_quality` stages
+    the same expression as ``__pss_g_padded``).  Step (1) is then
+    skipped and the pad/lower pass is not paid a second time; the
+    padded column is consumed, NOT emitted in the output."""
+    cols = [F.col(c) for c in df.columns if c != padded_col]
+    if padded_col is None:
+        padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+        step1 = df.select(*cols, padded.alias("__pss_padded"))
+        pcol = "__pss_padded"
+    else:
+        step1 = df
+        pcol = padded_col
     mcols = []
     for lg, words in LANG_MARKERS.items():
         for w in words:
             needle = f" {w} "
             mcols.append(
-                F.regexp_count(F.col("__pss_padded"), F.lit(needle))
+                F.regexp_count(F.col(pcol), F.lit(needle))
                 .cast("double")
                 .alias(f"__pss_mc_{lg}_{w}")
             )
@@ -825,6 +839,7 @@ def gopher_quality(
     min_alpha_frac: float = 0.8,
     min_stop_hits: int = 2,
     extra_cols: tuple = (),
+    lines_col: str | None = None,
 ):
     """Gopher document-level quality rules (Rae et al. 2021, Appendix
     A1.1 — the MassiveWeb filter reused by RefinedWeb/FineWeb/Dolma):
@@ -843,6 +858,17 @@ def gopher_quality(
     rounded to 6 for display, ``keep`` decided on UNROUNDED values
     (mirroring the oracle twin, same discipline as the dedup thresholds).
 
+    ``lines_col`` (optional): an array column that the CALLER
+    guarantees equals ``split(text_col, '\\n')`` up to the one-element
+    empty edge — i.e. ``text_col == array_join(lines_col, '\\n')`` with
+    no element containing a newline (exactly what
+    :func:`c4_line_filter` ``emit_lines`` provides for its
+    ``clean_text``).  The bullet/ellipsis line signals then reuse the
+    array instead of re-splitting the reconstructed text; the empty
+    edge (``lines_col == []`` joins to ``''`` which SPLITS to
+    ``['']``) is normalized here, so values are identical for every
+    input, including pages that kept zero lines.
+
     Scale shape: a pure per-row projection (split / filter / size /
     regexp are Catalyst array expressions) — zero shuffle, whole-stage
     codegen, embarrassingly parallel at any corpus size; the corpus-wide
@@ -855,11 +881,18 @@ def gopher_quality(
     # reliable on trees this wide (the with_lang_id lesson) — staged
     # aliases referenced more than once block CollapseProject inlining,
     # so every full-text scan here runs exactly once per row.
+    lines_src = (
+        F.when(
+            F.size(F.col(lines_col)) == 0, F.array(F.lit(""))
+        ).otherwise(F.col(lines_col))
+        if lines_col
+        else F.split(text, "\n")
+    )
     df = df.select(
         "*",
         F.trim(text).alias("__pss_g_trim"),
         F.split(F.trim(text), r"\s+").alias("__pss_g_words"),
-        F.split(text, "\n").alias("__pss_g_lines"),
+        lines_src.alias("__pss_g_lines"),
         F.concat(F.lit(" "), F.lower(text), F.lit(" ")).alias(
             "__pss_g_padded"
         ),
@@ -955,6 +988,7 @@ def c4_line_filter(
     banned_words: tuple = ("javascript",),
     page_banned: tuple = ("lorem ipsum", "{"),
     min_kept_lines: int = 3,
+    emit_lines: str | None = None,
 ):
     """C4-style line-level cleaning (Raffel et al. 2020, the filter that
     built the C4 corpus from Common Crawl): keep only lines passing
@@ -964,7 +998,13 @@ def c4_line_filter(
     a ``{`` suggesting code) or retains fewer than ``min_kept_lines``
     lines.
 
-    Output: (id, clean_text, n_kept, n_removed, page_kept int).
+    Output: (id, clean_text, n_kept, n_removed, page_kept int);
+    ``emit_lines`` additionally emits the kept-lines array under that
+    name — ``clean_text`` is exactly ``array_join(emit_lines, '\\n')``
+    and no element contains a newline, so a downstream consumer that
+    would re-split ``clean_text`` on newlines can take the array
+    instead of paying the split (see :func:`gopher_quality`
+    ``lines_col``; the funnel wiring in plans/training_corpus.py).
 
     Scale shape: a pure per-row projection — split / filter / array_join
     are Catalyst array expressions, so the operator is zero-shuffle,
@@ -1006,6 +1046,7 @@ def c4_line_filter(
         n_kept.cast("long").alias("n_kept"),
         (n_lines - n_kept).cast("long").alias("n_removed"),
         page_kept.cast("int").alias("page_kept"),
+        *([kept.alias(emit_lines)] if emit_lines else []),
     )
 
 

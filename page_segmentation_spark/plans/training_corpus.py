@@ -95,14 +95,27 @@ def _funnel_from_extracted(
     is evaluated exactly once and the filters test plain attributes."""
     from page_segmentation_spark.functions.staging import pushdown_barrier
 
-    c4 = c4_line_filter(ext, "url", "extracted_text", **(c4_opts or {}))
+    # cross-operator staging reuse (both exact by construction):
+    #   * C4 emits its kept-lines array; gopher's bullet/ellipsis line
+    #     signals take it via lines_col instead of re-splitting the
+    #     clean_text it was just joined into (clean_text ==
+    #     array_join(kept, '\n'), no element contains '\n');
+    #   * gopher's staged padded-lower (__pss_g_padded) IS the padded
+    #     lowered text with_lang_id's step (1) would rebuild — emit it
+    #     through extra_cols and pass it as padded_col, so the
+    #     pad/lower pass over every surviving document runs once.
+    c4 = c4_line_filter(
+        ext, "url", "extracted_text",
+        emit_lines="__pss_f_lines", **(c4_opts or {}),
+    )
     c4 = pushdown_barrier(c4, ["clean_text", "page_kept"])
     page_kept = c4.where(F.col("page_kept") == 1)
     g = gopher_quality(
         page_kept,
         "url",
         "clean_text",
-        extra_cols=("clean_text",),
+        extra_cols=("clean_text", "__pss_g_padded"),
+        lines_col="__pss_f_lines",
         **(gopher_opts or {}),
     )
     g = pushdown_barrier(g, ["keep"])
@@ -111,10 +124,12 @@ def _funnel_from_extracted(
     # trimmed text on \s+, blank -> 0, cast long), so reuse it instead
     # of re-splitting every surviving document.
     survivors = g.where(F.col("keep") == 1).select(
-        "url", "clean_text", "n_words"
+        "url", "clean_text", "n_words", "__pss_g_padded"
     )
     # staged lang ID (with_lang_id docstring: 5-7x over the inline form)
-    return with_lang_id(survivors, "clean_text").select(
+    return with_lang_id(
+        survivors, "clean_text", padded_col="__pss_g_padded"
+    ).select(
         "url",
         "lang",
         F.col("n_words").alias("n_tokens"),

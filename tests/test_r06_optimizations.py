@@ -258,3 +258,148 @@ def test_gopher_non_ws_fold_matches_replace(spark):
             assert out[i]["mean_word_len"] == round(non_ws / n_words, 6)
         else:
             assert out[i]["mean_word_len"] == 0.0
+
+
+def test_c4_emit_lines_roundtrip(spark):
+    """emit_lines must satisfy the documented contract consumers rely
+    on: clean_text == array_join(lines, '\n'), size(lines) == n_kept,
+    and no element contains a newline."""
+    from page_segmentation_spark.functions.text import c4_line_filter
+
+    texts = [
+        "good line one here now\nshort\nanother decent line of text ok",
+        "javascript only line here yes\nmore text without banned word!",
+        "",
+        "one two three four five\r\nsix seven eight nine ten",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "t"]
+    )
+    rows = c4_line_filter(
+        df, "id", "t", min_kept_lines=0, emit_lines="kl"
+    ).collect()
+    assert len(rows) == len(texts)
+    for r in rows:
+        assert "\n".join(r["kl"]) == r["clean_text"]
+        assert len(r["kl"]) == r["n_kept"]
+        assert all("\n" not in ln for ln in r["kl"])
+
+
+def test_gopher_lines_col_matches_resplit(spark):
+    """gopher_quality(lines_col=...) must equal the default re-split
+    form on every output column for any array satisfying the contract
+    text == array_join(lines, '\n') — including the [] edge, whose
+    join-then-split round trip yields [''], and single-line docs."""
+    from page_segmentation_spark.functions.text import gopher_quality
+
+    line_sets = [
+        ["alpha beta gamma", "- bullet line", "trailing dots..."],
+        [],
+        ["single line and the with of to"],
+        ["", "", ""],          # blank lines survive a '\n' round trip
+        ["• bullet", "plain", "ellipsis…"],
+    ]
+    df = spark.createDataFrame(
+        [(i, ls) for i, ls in enumerate(line_sets)], ["id", "ls"]
+    ).select(
+        "id", "ls", F.array_join("ls", "\n").alias("t")
+    )
+    base = {
+        r["id"]: r
+        for r in gopher_quality(df, "id", "t", min_words=0).collect()
+    }
+    reused = {
+        r["id"]: r
+        for r in gopher_quality(
+            df, "id", "t", min_words=0, lines_col="ls"
+        ).collect()
+    }
+    assert set(base) == set(reused)
+    for i in base:
+        assert tuple(base[i]) == tuple(reused[i]), f"row {i} differs"
+
+
+def test_with_lang_id_padded_col_identity(spark):
+    """with_lang_id(padded_col=...) must produce the same lang for the
+    same text as the self-built padded form, and must consume (not
+    emit) the padded column."""
+    from page_segmentation_spark.functions.text import with_lang_id
+
+    texts = [
+        "the cat and the dog with the ball",
+        "el perro y el gato en la casa",
+        "der Hund und die Katze mit dem Ball",
+        "le chien et le chat dans la maison",
+        "",
+        "zzz qqq xxx",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "t"]
+    )
+    pre = df.select(
+        "*",
+        F.concat(F.lit(" "), F.lower(F.col("t")), F.lit(" ")).alias("pp"),
+    )
+    base = {r["id"]: r["lang"] for r in with_lang_id(df, "t").collect()}
+    shared = with_lang_id(pre, "t", padded_col="pp")
+    assert "pp" not in shared.columns
+    got = {r["id"]: r["lang"] for r in shared.collect()}
+    assert base == got
+
+
+def test_funnel_share_wiring_matches_unshared(spark):
+    """_funnel_from_extracted (kept-lines + padded-lower shared across
+    C4/gopher/langid) must be row-identical to the unshared composition
+    of the same operators over hostile text shapes."""
+    from page_segmentation_spark.functions.staging import pushdown_barrier
+    from page_segmentation_spark.functions.text import (
+        c4_line_filter,
+        fingerprint,
+        gopher_quality,
+        with_lang_id,
+    )
+    from page_segmentation_spark.plans.training_corpus import (
+        _funnel_from_extracted,
+    )
+
+    body = (
+        "the quick brown fox jumps over the lazy dog again and again\n"
+        "and the story of the dog and the fox continues here today\n"
+        "with more of the words that the filters want to see now\n"
+    )
+    texts = [
+        body * 3,
+        body + "- bullet\n" * 2 + body,
+        "short",                      # fails c4 min_kept_lines
+        body.replace("the", "el") * 3,
+        "",
+    ]
+    ext = spark.createDataFrame(
+        [(f"u{i}", t) for i, t in enumerate(texts)],
+        ["url", "extracted_text"],
+    )
+
+    def unshared(ext):
+        c4 = c4_line_filter(ext, "url", "extracted_text")
+        c4 = pushdown_barrier(c4, ["clean_text", "page_kept"])
+        g = gopher_quality(
+            c4.where(F.col("page_kept") == 1),
+            "url",
+            "clean_text",
+            extra_cols=("clean_text",),
+        )
+        g = pushdown_barrier(g, ["keep"])
+        sv = g.where(F.col("keep") == 1).select(
+            "url", "clean_text", "n_words"
+        )
+        return with_lang_id(sv, "clean_text").select(
+            "url",
+            "lang",
+            F.col("n_words").alias("n_tokens"),
+            fingerprint(F.col("clean_text")).alias("content_fp"),
+            "clean_text",
+        )
+
+    a = sorted(tuple(r) for r in unshared(ext).collect())
+    b = sorted(tuple(r) for r in _funnel_from_extracted(ext).collect())
+    assert a == b

@@ -278,6 +278,36 @@ def main() -> None:
 
         return _funnel_from_extracted(ext)
 
+    def ftail_full_orig(ext):
+        # the pre-share wiring (no emit_lines / lines_col / padded_col):
+        # gopher re-splits clean_text on '\n' and with_lang_id rebuilds
+        # the padded lower — the round-close A/B baseline for the
+        # cross-operator staging reuse
+        from page_segmentation_spark.functions.staging import (
+            pushdown_barrier,
+        )
+        from page_segmentation_spark.functions.text import fingerprint
+
+        c4 = c4_line_filter(ext, "url", "extracted_text")
+        c4 = pushdown_barrier(c4, ["clean_text", "page_kept"])
+        g = gopher_quality(
+            c4.where(F.col("page_kept") == 1),
+            "url",
+            "clean_text",
+            extra_cols=("clean_text",),
+        )
+        g = pushdown_barrier(g, ["keep"])
+        survivors = g.where(F.col("keep") == 1).select(
+            "url", "clean_text", "n_words"
+        )
+        return with_lang_id(survivors, "clean_text").select(
+            "url",
+            "lang",
+            F.col("n_words").alias("n_tokens"),
+            fingerprint(F.col("clean_text")).alias("content_fp"),
+            "clean_text",
+        )
+
     def _barrier_kept(c4):
         from page_segmentation_spark.functions.staging import (
             pushdown_barrier,
@@ -337,6 +367,7 @@ def main() -> None:
         "ftail_gopher": lambda: ftail_gopher(ext_table()),
         "ftail_lang": lambda: ftail_lang(ext_table()),
         "ftail_full": lambda: ftail_full(ext_table()),
+        "ftail_full_orig": lambda: ftail_full_orig(ext_table()),
         # non-flagship bench queries on their own inputs
         "span_scrub": lambda: D.duplicate_span_scrub(
             docs(), "doc_id", "text", k=10
